@@ -1,0 +1,182 @@
+"""X1-X3 extraction operators over the parsed DOM (SURVEY.md §2.4).
+
+The reference contains no extraction heuristics; these are our deterministic
+extension, pinned by fixtures (tests/test_extract.py). The parse-time object
+DOM is flattened to an arena of parallel arrays (preorder node ids) — the
+north-star layout — and all stats/selection run as array passes.
+
+Definitions (frozen):
+  X1 per-node stats: text_len (sum of Text data lengths in the subtree),
+     link_text_len (text under any `a` descendant-or-self), n_desc_tags
+     (element descendants), depth.
+  X2 scoring: text_density = text_len / (1 + n_desc_tags);
+     link_density = link_text_len / max(text_len, 1);
+     prior = -1 if tag in NEGATIVE_TAGS or any class/id attribute value
+     contains a NEGATIVE_HINT substring (lowercased), else 0.
+     Candidate iff text_density >= TAU1 and link_density <= TAU2 and
+     prior >= 0, restricted to elements inside the first body subtree
+     (including body itself; head content never qualifies).
+  X3 emission: selected = candidates with no candidate proper ancestor;
+     main_text = document-order concat of Text data under selected subtrees;
+     spans = (node_id, start, end) offsets into main_text per selected node.
+"""
+from __future__ import annotations
+
+TAU1 = 2.0
+TAU2 = 0.33
+NEGATIVE_TAGS = frozenset({"nav", "aside", "footer", "header", "form"})
+NEGATIVE_HINTS = ("nav", "menu", "footer", "sidebar", "comment", "ad")
+
+
+class Arena:
+    """Flat preorder DOM: parallel lists indexed by node_id."""
+
+    __slots__ = ("kind", "tag", "parent", "depth", "direct_text_len",
+                 "text_len", "link_text_len", "n_desc_tags", "is_anchor_desc",
+                 "text_data", "n")
+
+    def __init__(self):
+        self.kind = []
+        self.tag = []
+        self.parent = []
+        self.depth = []
+        self.direct_text_len = []
+        self.text_len = []
+        self.link_text_len = []
+        self.n_desc_tags = []
+        self.is_anchor_desc = []
+        self.text_data = []  # data for Text nodes, "" otherwise
+        self.n = 0
+
+
+def flatten(document) -> tuple[Arena, list]:
+    """Preorder flatten; returns (arena, node_objects_in_preorder)."""
+    a = Arena()
+    nodes = []
+    stack = [(document, -1, 0, False)]
+    while stack:
+        node, parent_id, depth, anchor = stack.pop()
+        nid = a.n
+        a.n += 1
+        nodes.append(node)
+        is_text = node.kind == "Text"
+        data = node.data if is_text else ""
+        a.kind.append(node.kind)
+        a.tag.append(node.tag_name)
+        a.parent.append(parent_id)
+        a.depth.append(depth)
+        a.direct_text_len.append(len(data))
+        a.text_data.append(data)
+        a.is_anchor_desc.append(anchor)
+        a.text_len.append(0)
+        a.link_text_len.append(0)
+        a.n_desc_tags.append(0)
+        child_anchor = anchor or node.tag_name == "a"
+        for child in reversed(node.children):
+            stack.append((child, nid, depth + 1, child_anchor))
+    # bottom-up accumulation (children have larger ids than parents is NOT
+    # guaranteed by this stack order — it is: preorder with parent before
+    # child, so iterate ids descending and add into parent)
+    for nid in range(a.n - 1, 0, -1):
+        p = a.parent[nid]
+        own_text = a.direct_text_len[nid]
+        a.text_len[nid] += own_text
+        a.text_len[p] += a.text_len[nid]
+        if a.is_anchor_desc[nid]:
+            a.link_text_len[nid] += own_text
+        a.link_text_len[p] += a.link_text_len[nid]
+        is_el = a.kind[nid].startswith("HTML")
+        a.n_desc_tags[p] += a.n_desc_tags[nid] + (1 if is_el else 0)
+    if a.n:
+        a.text_len[0] += a.direct_text_len[0]
+    return a, nodes
+
+
+def _node_prior(node) -> int:
+    if node.tag_name in NEGATIVE_TAGS:
+        return -1
+    if node.attributes:
+        for name, value in node.attributes:
+            if name in ("class", "id"):
+                v = value.lower()
+                for hint in NEGATIVE_HINTS:
+                    if hint in v:
+                        return -1
+    return 0
+
+
+def extract_main_content(document):
+    """Returns (main_text, spans, arena, nodes).
+
+    spans: list of (node_id, start, end) into main_text.
+    """
+    arena, nodes = flatten(document)
+    # locate the first body subtree (document order)
+    body_id = None
+    for nid in range(arena.n):
+        if arena.tag[nid] == "body" and arena.kind[nid] == "HTMLBodyElement":
+            body_id = nid
+            break
+    if body_id is None:
+        return "", [], arena, nodes
+
+    def in_body(nid):
+        while nid != -1:
+            if nid == body_id:
+                return True
+            nid = arena.parent[nid]
+        return False
+
+    qualifying = [False] * arena.n
+    for nid in range(arena.n):
+        if not arena.kind[nid].startswith("HTML"):
+            continue
+        if not in_body(nid):
+            continue
+        tl = arena.text_len[nid]
+        density = tl / (1 + arena.n_desc_tags[nid])
+        link_density = arena.link_text_len[nid] / max(tl, 1)
+        if density >= TAU1 and link_density <= TAU2 and _node_prior(nodes[nid]) >= 0:
+            qualifying[nid] = True
+    # maximal: drop nodes with a qualifying proper ancestor
+    selected = []
+    for nid in range(arena.n):
+        if not qualifying[nid]:
+            continue
+        p = arena.parent[nid]
+        shadowed = False
+        while p != -1:
+            if qualifying[p]:
+                shadowed = True
+                break
+            p = arena.parent[p]
+        if not shadowed:
+            selected.append(nid)
+
+    parts = []
+    spans = []
+    offset = 0
+    for nid in selected:
+        start = offset
+        sub = _subtree_text(arena, nid)
+        offset += len(sub)
+        parts.append(sub)
+        spans.append((nid, start, offset))
+    return "".join(parts), spans, arena, nodes
+
+
+def _subtree_text(arena, root):
+    """Document-order Text concat under root (preorder ids are contiguous
+    per subtree? — NOT guaranteed by list layout, so walk by parent links)."""
+    # Preorder flatten gives each subtree a contiguous id range [root, end):
+    # the next id with depth <= depth[root] after root ends the subtree.
+    out = []
+    d = arena.depth[root]
+    nid = root + 1
+    while nid < arena.n and arena.depth[nid] > d:
+        if arena.kind[nid] == "Text":
+            out.append(arena.text_data[nid])
+        nid += 1
+    if arena.kind[root] == "Text":
+        out.append(arena.text_data[root])
+    return "".join(out)
