@@ -52,7 +52,7 @@ def parse_html(html, fast: bool = True, extract: bool = True,
         status = "err:recursion-limit"
 
     doc = parser.document
-    dom_s = serialize(doc) if want_dom else ""
+    dom_s = to_wellformed(serialize(doc)) if want_dom else ""
     text = to_wellformed(doc.child_text_content())
     title = ""
     main_text = ""
