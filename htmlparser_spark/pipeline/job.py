@@ -1,0 +1,210 @@
+"""The end-to-end extraction pipeline (SURVEY.md §2.3, S1-S11).
+
+scan → prune/filter → per-url dedup → explicit url-hash partitioning with
+size-tier skew salting → Arrow kernel → sink + per-partition lineage +
+error-counter metrics; exact resume via anti-join on completed partitions.
+
+Designed for a 1000-executor cluster reading an Iceberg table at 10^12-doc
+scale; in this sandbox it runs against parquet on local[N]. Every shuffle is
+explicit and keyed on deterministic functions of the data (url hash), never
+on task ids, so resume and re-runs are stable.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .kernel_stage import parse_batch
+from .schema import LINEAGE_SCHEMA, PAGES_SCHEMA, PARSED_SCHEMA
+
+DEFAULT_SALT_THRESHOLD = 1 << 20  # pages larger than 1 MiB get their own tier
+KERNEL_INPUT_COLS = ("url", "warc_ts", "html", "lang")
+
+
+def build_session(app="htmlparser-spark", cpus=None, shuffle_partitions=None,
+                  extra_conf=None) -> SparkSession:
+    """Session tuned for the kernel stage: Arrow batches sized for large
+    binary cells, AQE on as the skew backstop, Python workers reused."""
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    b = (SparkSession.builder.appName(app)
+         .master(f"local[{cpus}]")
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+         .config("spark.python.worker.reuse", "true")
+         .config("spark.driver.memory",
+                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+         .config("spark.sql.files.maxPartitionBytes", "128m")
+         .config("spark.ui.enabled", "false"))
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+# --- S1/S2: scan with pruning ------------------------------------------------
+
+def read_pages(spark: SparkSession, path: str, lang: str | None = None
+               ) -> DataFrame:
+    """Parquet scan (Iceberg `spark.table(...)` drop-in at prod). Column
+    pruning + predicate pushdown happen in Catalyst: only the four kernel
+    columns are read, and the lang filter reaches the scan."""
+    df = spark.read.schema(PAGES_SCHEMA).parquet(path)
+    df = df.select(*KERNEL_INPUT_COLS)
+    if lang:
+        df = df.filter(F.col("lang") == lang)
+    return df
+
+
+# --- S6: per-url dedup (latest snapshot wins) --------------------------------
+
+def dedup_latest(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# --- S3/S4: explicit partitioning + size-tier salting ------------------------
+
+def with_part_key(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Deterministic partition key from the url hash — never task ids — so
+    lineage/resume is stable across runs (S9)."""
+    return df.withColumn(
+        "part_key", F.pmod(F.xxhash64("url"), F.lit(num_partitions)).cast("long"))
+
+
+def repartition_pages(df: DataFrame, num_partitions: int,
+                      salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+                      salt_buckets: int = 16) -> DataFrame:
+    """Shuffle on (part_key, salt): huge pages (heavy CPU in the kernel) get
+    spread across `salt_buckets` extra buckets so one hot partition can't
+    stall the stage; AQE skew handling is the backstop."""
+    salt = F.when(
+        F.length("html") > salt_threshold,
+        F.pmod(F.xxhash64("url", F.lit(1)), F.lit(salt_buckets)),
+    ).otherwise(F.lit(0))
+    return df.withColumn("_salt", salt).repartition(
+        num_partitions, "part_key", "_salt").drop("_salt")
+
+
+# --- S5 + S8: kernel + metrics ----------------------------------------------
+
+def parse_pages(df: DataFrame, extract: bool = True) -> DataFrame:
+    return df.mapInPandas(partial(parse_batch, extract=extract),
+                          schema=PARSED_SCHEMA)
+
+
+def error_counters(parsed: DataFrame) -> DataFrame:
+    """S8: tokenizer/tree-construction error counters — map explode + sum."""
+    return (parsed.select(F.explode_outer("errors").alias("code", "n"))
+            .filter(F.col("code").isNotNull())
+            .groupBy("code").agg(F.sum("n").alias("n"))
+            .orderBy(F.col("n").desc(), "code"))
+
+
+def status_counts(parsed: DataFrame) -> DataFrame:
+    return parsed.groupBy("status").agg(F.count("*").alias("n")) \
+        .orderBy(F.col("n").desc(), "status")
+
+
+# --- S9: lineage + resume ----------------------------------------------------
+
+def lineage_of(parsed: DataFrame) -> DataFrame:
+    """Per-partition manifest: row counts + an order-insensitive checksum of
+    (url, status, main_text). Written alongside the output; resume anti-joins
+    completed part_keys."""
+    row_hash = F.xxhash64("url", "status", "main_text")
+    return parsed.groupBy("part_key").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
+        # bit_xor: order-insensitive and overflow-free under ANSI mode
+        F.bit_xor(row_hash).alias("checksum"),
+    )
+
+
+def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
+                 *, num_partitions: int | None = None,
+                 salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+                 lang: str | None = None, dedup: bool = True,
+                 resume: bool = True, extract: bool = True) -> dict:
+    """Full job. Returns a metrics dict (S8). Output layout:
+    ``{out_dir}/parsed`` (parquet), ``{out_dir}/_lineage`` (parquet).
+    """
+    if isinstance(src, str):
+        df = read_pages(spark, src, lang=lang)
+    else:
+        df = src.select(*KERNEL_INPUT_COLS) if set(KERNEL_INPUT_COLS) <= set(src.columns) else src
+        if lang:
+            df = df.filter(F.col("lang") == lang)
+    sc = spark.sparkContext
+    num_partitions = num_partitions or sc.defaultParallelism * 2
+
+    if dedup:
+        df = dedup_latest(df)
+    df = with_part_key(df, num_partitions)
+
+    parsed_path = os.path.join(out_dir, "parsed")
+    lineage_path = os.path.join(out_dir, "_lineage")
+
+    done_keys = None
+    if resume:
+        try:
+            done = spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path)
+            done_keys = done.select("part_key").distinct()
+        except Exception:
+            done_keys = None
+    if done_keys is not None:
+        df = df.join(F.broadcast(done_keys), "part_key", "left_anti")
+
+    df = repartition_pages(df, num_partitions, salt_threshold=salt_threshold)
+    parsed = parse_pages(df, extract=extract)
+    parsed = parsed.observe(
+        "kernel_metrics",
+        F.count(F.lit(1)).alias("pages"),
+        F.sum("html_bytes").alias("bytes"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_pages"),
+        F.sum("n_errors").alias("parse_errors"),
+    )
+    # hive-style layout keyed on the deterministic part_key: resume can
+    # reason about (and re-write) whole partitions, and downstream scans get
+    # partition pruning on the same key
+    parsed.write.mode("append").partitionBy("part_key").parquet(parsed_path)
+
+    out = spark.read.parquet(parsed_path)
+    lineage_of(out).write.mode("overwrite").parquet(lineage_path)
+
+    observed = {}
+    # observation metrics are attached to the last action's query execution;
+    # recompute cheap aggregates from the sink for a stable return value
+    agg = out.agg(
+        F.count(F.lit(1)).alias("pages"),
+        F.sum("html_bytes").alias("bytes"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_pages"),
+        F.sum("n_errors").alias("parse_errors"),
+    ).collect()[0]
+    observed.update(agg.asDict())
+    return observed
+
+
+# --- S11: golden-diff validator ----------------------------------------------
+
+def golden_diff(parsed: DataFrame, golden: DataFrame) -> DataFrame:
+    """Rows whose extracted text differs from the golden table — must be
+    empty for the byte-identical gate."""
+    p = parsed.select("url", F.col("status").alias("p_status"),
+                      F.col("text").alias("p_text"),
+                      F.col("main_text").alias("p_main"))
+    g = golden.select("url", F.col("status").alias("g_status"),
+                      F.col("text").alias("g_text"),
+                      F.col("main_text").alias("g_main"))
+    joined = p.join(g, "url", "full_outer")
+    return joined.filter(
+        (F.col("p_status") != F.col("g_status"))
+        | (F.col("p_text") != F.col("g_text"))
+        | (F.col("p_main") != F.col("g_main"))
+        | F.col("p_status").isNull() | F.col("g_status").isNull())

@@ -1,0 +1,61 @@
+"""Input/output schemas (BASELINE.json input_hint; SURVEY.md §1.2)."""
+from pyspark.sql.types import (
+    ArrayType, BinaryType, BooleanType, IntegerType, LongType, MapType,
+    StringType, StructField, StructType, TimestampType,
+)
+
+# Common-Crawl-style pages table (input_hint)
+PAGES_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("html", BinaryType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+])
+
+SPAN_TYPE = StructType([
+    StructField("node_id", IntegerType()),
+    StructField("start", IntegerType()),
+    StructField("end", IntegerType()),
+])
+
+# Kernel stage (S5) output
+PARSED_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("lang", StringType()),
+    StructField("part_key", LongType()),
+    StructField("status", StringType()),
+    StructField("title", StringType()),
+    StructField("text", StringType()),
+    StructField("main_text", StringType()),
+    StructField("spans", ArrayType(SPAN_TYPE)),
+    StructField("errors", MapType(StringType(), LongType())),
+    StructField("n_errors", LongType()),
+    StructField("n_nodes", LongType()),
+    StructField("n_elements", LongType()),
+    StructField("html_bytes", LongType()),
+])
+
+# Exploded arena DOM (FIXTURES.md §4) for SQL-checkable X1/X2 stats
+NODES_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("node_id", IntegerType()),
+    StructField("parent_id", IntegerType()),
+    StructField("kind", StringType()),
+    StructField("tag", StringType()),
+    StructField("depth", IntegerType()),
+    StructField("text_len", LongType()),
+    StructField("subtree_text_len", LongType()),
+    StructField("link_text_len", LongType()),
+    StructField("n_desc_tags", LongType()),
+    StructField("is_anchor_desc", BooleanType()),
+])
+
+# Per-partition lineage manifest (S9)
+LINEAGE_SCHEMA = StructType([
+    StructField("part_key", LongType()),
+    StructField("n_rows", LongType()),
+    StructField("n_ok", LongType()),
+    StructField("checksum", LongType()),
+])

@@ -1,0 +1,178 @@
+"""Spark end-to-end tests (SURVEY.md §5.2 item 4).
+
+synthetic corpus → pipeline → per-url equality with the kernel applied
+row-wise (the oracle), resume-after-kill, dedup, metrics, nodes table.
+"""
+import os
+import shutil
+import sys
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from htmlparser_spark.kernel import parse_html
+from htmlparser_spark.pipeline.job import (
+    dedup_latest, error_counters, golden_diff, lineage_of, run_pipeline,
+    status_counts, with_part_key,
+)
+from htmlparser_spark.pipeline.kernel_stage import nodes_batch
+from htmlparser_spark.pipeline.schema import NODES_SCHEMA
+from htmlparser_spark.synth import synth_pages
+
+N_PAGES = 400
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("PYTHONPATH",
+                          os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    s = (SparkSession.builder.master("local[2]")
+         .appName("htmlparser-spark-tests")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.ui.enabled", "false")
+         .config("spark.executorEnv.PYTHONPATH",
+                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+         .getOrCreate())
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus(spark):
+    df = synth_pages(spark, N_PAGES, seed=42, partitions=4)
+    df.cache()
+    df.count()
+    return df
+
+
+def test_synth_deterministic(spark):
+    a = synth_pages(spark, 50, seed=42, partitions=2).orderBy("url", "warc_ts").collect()
+    b = synth_pages(spark, 50, seed=42, partitions=3).orderBy("url", "warc_ts").collect()
+    assert [(r.url, r.warc_ts, bytes(r.html)) for r in a] == \
+           [(r.url, r.warc_ts, bytes(r.html)) for r in b]
+
+
+def test_pipeline_matches_rowwise_oracle(spark, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    metrics = run_pipeline(spark, corpus, out, num_partitions=8)
+    assert metrics["pages"] > 0
+    parsed = spark.read.parquet(os.path.join(out, "parsed"))
+
+    # oracle: dedup locally, parse locally, byte-compare per url (S11)
+    rows = dedup_latest(corpus).collect()
+    gold = {}
+    for r in rows:
+        k = parse_html(bytes(r.html)) if r.html is not None else None
+        gold[r.url] = k
+    got = {r.url: r for r in parsed.collect()}
+    assert set(got) == set(gold)
+    n_ok = 0
+    for url, g in gold.items():
+        p = got[url]
+        assert p.status == g["status"], url
+        assert p.text == g["text"], url
+        assert p.main_text == g["main_text"], url
+        assert p.title == g["title"], url
+        assert (p.errors or {}) == {k: v for k, v in g["errors"].items()}, url
+        if p.status == "ok":
+            n_ok += 1
+    assert n_ok > len(gold) * 0.7  # mix has ~5% crashers + truncations
+
+    # byte-identical gate via the golden_diff operator itself
+    g_rows = [(u, g["status"], g["text"], g["main_text"]) for u, g in gold.items()]
+    golden = spark.createDataFrame(g_rows, "url string, status string, text string, main_text string")
+    assert golden_diff(parsed, golden).count() == 0
+
+
+def test_dedup_latest_wins(spark, corpus):
+    deduped = dedup_latest(corpus)
+    assert deduped.groupBy("url").count().filter("count > 1").count() == 0
+    # a duplicated url must keep the LATEST snapshot
+    dup_urls = (corpus.groupBy("url").count().filter("count > 1")
+                .select("url").limit(1).collect())
+    if dup_urls:
+        u = dup_urls[0].url
+        latest = corpus.filter(F.col("url") == u).agg(F.max("warc_ts")).collect()[0][0]
+        kept = deduped.filter(F.col("url") == u).collect()[0].warc_ts
+        assert kept == latest
+
+
+def test_resume_after_kill(spark, corpus, tmp_path):
+    out_full = str(tmp_path / "full")
+    out_resume = str(tmp_path / "resume")
+    run_pipeline(spark, corpus, out_full, num_partitions=8)
+    full = spark.read.parquet(os.path.join(out_full, "parsed"))
+    full_checksum = lineage_of(full).orderBy("part_key").collect()
+
+    # fresh run, then simulate a kill: drop half the output partitions and
+    # their lineage rows
+    run_pipeline(spark, corpus, out_resume, num_partitions=8)
+    lineage_path = os.path.join(out_resume, "_lineage")
+    parsed_path = os.path.join(out_resume, "parsed")
+    keys = sorted(int(d.split("=")[1]) for d in os.listdir(parsed_path)
+                  if d.startswith("part_key="))
+    killed = keys[::2]
+    for k in killed:
+        shutil.rmtree(os.path.join(parsed_path, f"part_key={k}"))
+    keep = spark.read.parquet(lineage_path).filter(~F.col("part_key").isin(killed))
+    keep_rows = keep.collect()
+    shutil.rmtree(lineage_path)
+    spark.createDataFrame(keep_rows, keep.schema).write.parquet(lineage_path)
+
+    # resume: must reprocess exactly the killed partitions
+    run_pipeline(spark, corpus, out_resume, num_partitions=8)
+    resumed = spark.read.parquet(parsed_path)
+    resumed_checksum = lineage_of(resumed).orderBy("part_key").collect()
+    assert [r.asDict() for r in resumed_checksum] == \
+           [r.asDict() for r in full_checksum]
+
+
+def test_rerun_is_noop(spark, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    m1 = run_pipeline(spark, corpus, out, num_partitions=4)
+    m2 = run_pipeline(spark, corpus, out, num_partitions=4)
+    assert m2["pages"] == m1["pages"]  # nothing appended
+
+
+def test_error_counters_and_status(spark, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    run_pipeline(spark, corpus, out, num_partitions=4)
+    parsed = spark.read.parquet(os.path.join(out, "parsed"))
+    st = {r.status: r.n for r in status_counts(parsed).collect()}
+    assert st.get("ok", 0) > 0
+    errs = {r.code: r.n for r in error_counters(parsed).collect()}
+    assert all(n > 0 for n in errs.values())
+    # crasher pages must be present as error rows, never missing rows
+    assert sum(n for s, n in st.items() if s != "ok") > 0
+
+
+def test_nodes_table(spark, corpus):
+    small = dedup_latest(corpus).limit(30)
+    nodes = small.select("url", "warc_ts", "html").mapInPandas(
+        nodes_batch, schema=NODES_SCHEMA)
+    pdf = nodes.toPandas()
+    assert (pdf.groupby("url")["node_id"].min() == 0).all()
+    roots = pdf[pdf.node_id == 0]
+    assert (roots.kind == "Document").all()
+    assert (roots.parent_id == -1).all()
+    # subtree_text_len of the root == sum of direct text lens per url
+    agg = pdf.groupby("url").agg(total=("text_len", "sum"))
+    root_totals = roots.set_index("url")["subtree_text_len"]
+    for url, row in agg.iterrows():
+        assert root_totals[url] == row["total"]
+
+
+def test_kernel_plan_is_pruned(spark, corpus, tmp_path):
+    """Column pruning: the kernel stage scan must not read the `text` column."""
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+    from htmlparser_spark.pipeline.job import read_pages
+    df = read_pages(spark, src, lang="en")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    assert "text" not in plan.split("ReadSchema")[1][:300]
+    assert "PushedFilters" in plan
