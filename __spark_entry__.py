@@ -1,38 +1,320 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
-"""
+entry(spark)   — flagship: the HTML parse kernel round-trip over sf0.001.
+queries()      — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()   — DuckDB-runnable ANSI SQL equivalents; omitted only for the
+                 non-SQL-expressible kernel/corpus queries (rows-only check).
 
+Implementation lives in htmlparser_spark/ (kernel: htmlparser_spark/kernel/,
+pipeline ops: htmlparser_spark/ops.py, htmlparser_spark/pipeline/).
+"""
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from htmlparser_spark import ops
+from htmlparser_spark.pipeline.kernel_stage import nodes_batch, parse_batch
+from htmlparser_spark.pipeline.schema import NODES_SCHEMA, PARSED_SCHEMA
+from htmlparser_spark.synth import synth_pages
+
+SF0001 = "/root/testdata/sf0.001"
+
+N_CORPUS = 300  # fixed-size deterministic synthetic corpus for kernel queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: wrap documents.text into pages, run the full HTML5 tokenizer
+    + tree builder + main-content extractor, return per-doc extraction."""
+    return ops.parse_roundtrip(spark, SF0001)
+
+
+# --- kernel queries over the deterministic synthetic corpus (rows-only) ------
+
+def _corpus(spark):
+    return synth_pages(spark, N_CORPUS, seed=42, partitions=4)
+
+
+def parse_corpus_extract(spark, sf_dir):
+    parsed = _corpus(spark).mapInPandas(parse_batch, schema=PARSED_SCHEMA)
+    return parsed.select("url", "status", "title", "n_nodes", "n_elements",
+                         F.length("text").alias("text_len"),
+                         F.length("main_text").alias("main_len"))
+
+
+def parse_corpus_status(spark, sf_dir):
+    parsed = _corpus(spark).mapInPandas(parse_batch, schema=PARSED_SCHEMA)
+    return parsed.groupBy("status").agg(F.count("*").alias("n"))
+
+
+def parse_error_counters(spark, sf_dir):
+    parsed = _corpus(spark).mapInPandas(parse_batch, schema=PARSED_SCHEMA)
+    return (parsed.select(F.explode("errors").alias("code", "n"))
+            .groupBy("code").agg(F.sum("n").alias("n")))
+
+
+def parse_spans_explode(spark, sf_dir):
+    parsed = _corpus(spark).mapInPandas(parse_batch, schema=PARSED_SCHEMA)
+    return (parsed.select("url", F.explode("spans").alias("s"))
+            .select("url", "s.node_id", "s.start", "s.end"))
+
+
+def parse_nodes_stats(spark, sf_dir):
+    nodes = (synth_pages(spark, 60, seed=42, partitions=2)
+             .mapInPandas(nodes_batch, schema=NODES_SCHEMA))
+    return (nodes.groupBy("kind")
+            .agg(F.count("*").alias("n"),
+                 F.sum("text_len").alias("total_text"),
+                 F.max("depth").alias("max_depth")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # kernel (parse/extract) — flagship is oracle-checkable
+        "parse_roundtrip": ops.parse_roundtrip,
+        "parse_corpus_extract": parse_corpus_extract,
+        "parse_corpus_status": parse_corpus_status,
+        "parse_error_counters": parse_error_counters,
+        "parse_spans_explode": parse_spans_explode,
+        "parse_nodes_stats": parse_nodes_stats,
+        # pipeline-shape relational ops (S2/S6/S7/S8)
+        "filter_project": ops.filter_project,
+        "window_dedup_latest": ops.window_dedup_latest,
+        "explode_tokens": ops.explode_tokens,
+        "agg_counters": ops.agg_counters,
+        # TPC-H-shaped showcases
+        "q1_pricing_summary": ops.q1_pricing_summary,
+        "q3_revenue_by_order": ops.q3_revenue_by_order,
+        "join_broadcast_dims": ops.join_broadcast_dims,
+        # dedup family
+        "dedup_exact": ops.dedup_exact,
+        "dedup_ngram_jaccard": ops.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": ops.dedup_minhash_lsh,
+        "dedup_simhash": ops.dedup_simhash,
+        # similarity search
+        "embedding_topk": ops.embedding_topk,
+        "embedding_ann_lsh": ops.embedding_ann_lsh,
+        # text analysis
+        "text_token_count": ops.text_token_count,
+        "text_quality": ops.text_quality,
+        "text_lang_id": ops.text_lang_id,
+        "text_fingerprint": ops.text_fingerprint,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_SHINGLES_CTE = """
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+        FROM words)
+  WHERE length(array_to_string(ws[i:i+2], ' ')) > 0
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "parse_roundtrip": """
+            SELECT doc_id, 'ok' AS status,
+                   'doc-' || doc_id::varchar AS title,
+                   text AS main_text
+            FROM documents
+            WHERE regexp_matches(text, '^[a-z0-9 ]*$')
+        """,
+        "filter_project": """
+            SELECT doc_id, n_chars, upper(source) AS source_uc,
+                   length(text) - n_chars AS len_delta
+            FROM documents WHERE lang = 'en'
+        """,
+        "window_dedup_latest": """
+            SELECT user_id, event_id, event_type, round(value, 2) AS value_r
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "explode_tokens": """
+            SELECT doc_id, i - 1 AS pos, ws[i] AS token
+            FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+                  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                        FROM documents))
+            WHERE ws[i] <> ''
+        """,
+        "agg_counters": """
+            SELECT event_type, count(*) AS n,
+                   sum(round(value * 100, 0)::bigint) AS total_value_cents,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(round(l_quantity * 100, 0)::bigint) AS sum_qty_c,
+                   sum(round(l_extendedprice * 100, 0)::bigint) AS sum_base_price_c,
+                   sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::bigint)
+                     AS sum_disc_price_c,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_revenue_by_order": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::bigint)
+                     AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            HAVING sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::bigint)
+                   > 100000
+        """,
+        "join_broadcast_dims": """
+            SELECT r_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b,
+                   round(inter::double / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE round(inter::double / (sa.sz + sb.sz - inter), 6) >= 0.5
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {_SHINGLES_CTE},
+            mh AS (
+              SELECT doc_id, k,
+                     min(('0x' || substr(md5(k::varchar || ':' || shingle), 1, 8))::bigint) AS mh
+              FROM (SELECT doc_id, shingle,
+                           unnest(generate_series(0, 15)) AS k FROM sh)
+              GROUP BY doc_id, k),
+            sig AS (
+              SELECT doc_id, (k // 4) AS band,
+                     string_agg(mh::varchar, '-' ORDER BY k) AS sig
+              FROM mh GROUP BY doc_id, (k // 4)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sig a JOIN sig b
+                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+              GROUP BY c.doc_a, c.doc_b)
+            SELECT doc_a, doc_b,
+                   round(inter::double / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE round(inter::double / (sa.sz + sb.sz - inter), 6) >= 0.5
+        """,
+        "dedup_simhash": f"""
+            WITH {_SHINGLES_CTE},
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5('0:' || shingle), 1, 8))::bigint AS h
+                  FROM sh),
+            votes AS (
+              SELECT doc_id, bit, sum(((h >> bit) & 1) * 2 - 1) AS vote
+              FROM (SELECT doc_id, h, unnest(generate_series(0, 31)) AS bit
+                    FROM h)
+              GROUP BY doc_id, bit)
+            SELECT doc_id,
+                   sum(CASE WHEN vote > 0 THEN (1::bigint << bit) ELSE 0 END) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "embedding_topk": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> x::double) AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_dot_product(q.qv, e.v)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(e.v, e.v))) AS cos
+              FROM q, e WHERE e.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, rank, round(cos, 4) AS cos_r
+            FROM ranked WHERE rank <= 3
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), w -> w <> '')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+            FROM documents
+        """,
+        "text_quality": """
+            WITH w AS (SELECT doc_id,
+                              list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                       FROM documents),
+            calc AS (
+              SELECT doc_id, len(ws) AS n_words,
+                     coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::double
+                       / greatest(len(ws), 1) AS awl,
+                     len(list_filter(ws, x -> list_contains(
+                         ['the','a','of','and','to','in','with','over','my'], x)))::double
+                       / greatest(len(ws), 1) AS sr
+              FROM w)
+            SELECT doc_id, n_words, round(awl, 4) AS avg_word_len,
+                   round(sr, 4) AS stopword_ratio,
+                   round(least(1.0, sr * 2 + CASE WHEN awl >= 3 AND awl <= 8
+                                                  THEN 0.5 ELSE 0.0 END), 4)
+                     AS quality_score
+            FROM calc
+        """,
+        "text_lang_id": """
+            WITH w AS (SELECT doc_id,
+                              list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                       FROM documents),
+            hits AS (
+              SELECT doc_id,
+                len(list_filter(ws, x -> list_contains(
+                    ['the','a','of','and','to','in','with','over','my'], x))) AS hits_en,
+                len(list_filter(ws, x -> list_contains(
+                    ['der','die','das','und','mit','ein','zu'], x))) AS hits_de,
+                len(list_filter(ws, x -> list_contains(
+                    ['le','la','les','et','de','un','une'], x))) AS hits_fr
+              FROM w)
+            SELECT doc_id, hits_en, hits_de, hits_fr,
+                   CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+                        WHEN hits_de >= hits_fr THEN 'de'
+                        ELSE 'fr' END AS lang_pred
+            FROM hits
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+            FROM documents
+        """,
+    }

@@ -1,0 +1,393 @@
+"""Relational / dedup / similarity / text-analysis operators (SURVEY.md §2.3
++ training-data-pipeline ops), each as a (spark, sf_dir) -> DataFrame callable
+with a matching ANSI-SQL oracle in __spark_entry__.oracle_sql().
+
+Scale notes (these run on local[32] here, but are shaped for a 1000-executor
+cluster):
+  - small dims (nation/region/customer) are broadcast;
+  - pairwise dedup ops never build an n² cross join — candidates come from an
+    equi-join on shingle / band-signature keys (shuffle keyed on content);
+  - every hash used for dedup is a portable md5-derived 32-bit value so the
+    DuckDB oracle computes bit-identical results;
+  - float aggregations are rounded before comparison (summation-order noise).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- S2: filter + projection --------------------------------------------------
+
+def filter_project(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .filter(F.col("lang") == "en")
+            .select("doc_id", "n_chars",
+                    F.upper("source").alias("source_uc"),
+                    (F.length("text") - F.col("n_chars")).alias("len_delta")))
+
+
+# --- S6: window dedup (latest snapshot wins) -----------------------------------
+
+def window_dedup_latest(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (_t(spark, sf_dir, "events")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type",
+                    F.round("value", 2).alias("value_r")))
+
+
+# --- S7: explode / generator ----------------------------------------------------
+
+def explode_tokens(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.posexplode(F.split("text", " "))
+                    .alias("pos", "token"))
+            .filter(F.col("token") != ""))
+
+
+# --- S8: counter aggregation ----------------------------------------------------
+
+def agg_counters(spark, sf_dir):
+    # sums go through integer cents: per-row doubles are IEEE-identical in
+    # any engine, so rounding per row THEN summing bigints is exactly
+    # reproducible (a float sum is summation-order-dependent)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(cents).alias("total_value_cents"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+# --- TPC-H-shaped relational showcases ------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                     0).cast("long")
+    return (li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(qty_c).alias("sum_qty_c"),
+                 F.sum(price_c).alias("sum_base_price_c"),
+                 F.sum(disc_c).alias("sum_disc_price_c"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+def q3_revenue_by_order(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                    0).cast("long")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(rev_c).alias("revenue_cents"))
+            .filter(F.col("revenue_cents") > 100000))
+
+
+def join_broadcast_dims(spark, sf_dir):
+    """Star join with every dim broadcast — zero shuffle on the dim side."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (orders
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+# --- dedup family over documents -------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, keeper = min doc_id per content hash."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+            .groupBy("text_hash")
+            .agg(F.min("doc_id").alias("keeper_id"),
+                 F.count("*").alias("n_copies")))
+
+
+def _shingles(df, n=3):
+    """Distinct word n-gram shingles per doc (content-keyed, no n² joins)."""
+    words = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    return (df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+            .filter(F.length("shingle") > 0))
+
+
+def _shingle_sets(spark, sf_dir):
+    return _shingles(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def dedup_ngram_jaccard(spark, sf_dir, threshold=0.5):
+    """n-gram Jaccard near-dup pairs via shingle equi-join (the scalable
+    shape: candidates share ≥1 shingle; shuffle keys on shingle content)."""
+    sh = _shingle_sets(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def _portable_hash32(col, seed_col):
+    """32-bit hash both Spark and DuckDB compute identically:
+    int(substr(md5(seed || ':' || s), 1, 8), 16)."""
+    return F.conv(F.substring(F.md5(F.concat_ws(":", seed_col, col)), 1, 8),
+                  16, 10).cast("long")
+
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def dedup_minhash_lsh(spark, sf_dir, threshold=0.5):
+    """MinHash + LSH banding: shingle → 16 minhashes → 4 band signatures →
+    bucket equi-join for candidates → exact Jaccard verify. The oracle SQL
+    mirrors the identical (portable) hash, so results match exactly."""
+    sh = _shingle_sets(spark, sf_dir).cache()
+    ks = F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("k")
+    mh = (sh.select("doc_id", "shingle", ks)
+          .withColumn("h", _portable_hash32(F.col("shingle"), F.col("k")))
+          .groupBy("doc_id", "k").agg(F.min("h").alias("mh"))
+          .withColumn("band", (F.col("k") / (N_MINHASH // N_BANDS)).cast("int")))
+    sig = (mh.groupBy("doc_id", "band")
+           .agg(F.array_join(F.transform(
+               F.array_sort(F.collect_list(F.struct("k", "mh"))),
+               lambda s: s["mh"].cast("string")), "-").alias("sig")))
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    # exact verify on candidates only
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (cand.join(sh.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("shingle").alias("sh_a")), "doc_a")
+             .join(sh.select(F.col("doc_id").alias("doc_b"),
+                             F.col("shingle").alias("sh_b")), "doc_b")
+             .filter(F.col("sh_a") == F.col("sh_b"))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash per document (bit-majority over shingle hashes)."""
+    sh = _shingle_sets(spark, sf_dir)
+    h = sh.withColumn("h", _portable_hash32(F.col("shingle"), F.lit(0)))
+    bits = h.select("doc_id", "h", F.explode(
+        F.sequence(F.lit(0), F.lit(31))).alias("bit"))
+    votes = (bits.withColumn(
+        "v", F.expr("(shiftright(h, bit) & 1) * 2 - 1"))
+        .groupBy("doc_id", "bit").agg(F.sum("v").alias("vote")))
+    return (votes.withColumn(
+        "contrib", F.expr(
+            "CASE WHEN vote > 0 THEN shiftleft(1L, bit) ELSE 0L END"))
+        .groupBy("doc_id").agg(F.sum("contrib").alias("simhash")))
+
+
+# --- similarity search over embeddings --------------------------------------------
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_topk(spark, sf_dir, k=3, n_queries=5):
+    """Brute-force cosine top-k: the exactness baseline. Queries (a small
+    fixed set) are broadcast; the corpus side never shuffles."""
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id", F.transform("embedding",
+                                         lambda x: x.cast("double")).alias("v")))
+    q = (emb.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    scored = (emb.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("cos", _cosine(F.col("qv"), F.col("v"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank",
+                    F.round("cos", 4).alias("cos_r")))
+
+
+def embedding_ann_lsh(spark, sf_dir, k=3, n_queries=5, n_planes=8):
+    """Sign-LSH bucketed ANN (the 100TB path: equi-join on bucket signature
+    instead of a cross join). Hyperplanes are seeded pseudo-random vectors
+    derived from md5 — deterministic. Rows-only checked (recall < 1 by
+    design vs the brute-force baseline)."""
+    import hashlib
+
+    dim = 64
+
+    def plane(p):
+        vals = []
+        for d in range(dim):
+            hx = hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:8]
+            vals.append((int(hx, 16) / 0x7FFFFFFF) - 1.0)
+        return vals
+
+    planes = [plane(p) for p in range(n_planes)]
+    planes_lit = F.array(*[
+        F.array(*[F.lit(v) for v in pl]) for pl in planes])
+
+    def signature(vcol):
+        return F.array_join(F.transform(
+            planes_lit,
+            lambda pl: F.when(F.aggregate(
+                F.zip_with(pl, vcol, lambda x, y: x * y),
+                F.lit(0.0), lambda acc, v: acc + v) >= 0, F.lit("1"))
+            .otherwise(F.lit("0"))), "")
+
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id", F.transform("embedding",
+                                         lambda x: x.cast("double")).alias("v")))
+    emb = emb.withColumn("bucket", signature(F.col("v")))
+    q = (emb.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                 F.col("bucket")))
+    cand = (emb.join(F.broadcast(q), "bucket")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cos", _cosine(F.col("qv"), F.col("v"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank",
+                    F.round("cos", 4).alias("cos_r")))
+
+
+# --- text analysis ------------------------------------------------------------------
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "with", "over", "my"],
+    "de": ["der", "die", "das", "und", "mit", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une"],
+}
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def text_token_count(spark, sf_dir):
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.size(F.filter(F.split("text", " "),
+                                    lambda w: w != "")).alias("ws_tokens"),
+                    F.size(F.regexp_extract_all(
+                        F.col("text"), F.lit(TOKEN_RE), 0)).alias("re_tokens")))
+
+
+def text_quality(spark, sf_dir):
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(en, w)))
+    n_words = F.size(words)
+    avg_wlen = (F.aggregate(words, F.lit(0),
+                            lambda acc, w: acc + F.length(w)).cast("double")
+                / F.greatest(n_words, F.lit(1)))
+    stop_ratio = stop_hits.cast("double") / F.greatest(n_words, F.lit(1))
+    score = F.round(
+        F.least(F.lit(1.0),
+                stop_ratio * 2 + F.when((avg_wlen >= 3) & (avg_wlen <= 8), 0.5)
+                .otherwise(0.0)), 4)
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", n_words.alias("n_words"),
+                    F.round(avg_wlen, 4).alias("avg_word_len"),
+                    F.round(stop_ratio, 4).alias("stopword_ratio"),
+                    score.alias("quality_score")))
+
+
+def text_lang_id(spark, sf_dir):
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    hits = {}
+    for lang, sw in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in sw])
+        hits[lang] = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+    pred = (F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]), "en")
+            .when(hits["de"] >= hits["fr"], "de").otherwise("fr"))
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", hits["en"].alias("hits_en"),
+                    hits["de"].alias("hits_de"), hits["fr"].alias("hits_fr"),
+                    pred.alias("lang_pred")))
+
+
+def text_fingerprint(spark, sf_dir):
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.md5(norm).alias("fingerprint")))
+
+
+# --- kernel round-trip (the oracle-checkable parse query) ----------------------------
+
+PAGE_TEMPLATE_PREFIX = ('<!DOCTYPE html><html><head><title>doc-{id}</title>'
+                        '</head><body><div class="content">')
+PAGE_TEMPLATE_SUFFIX = "</div></body></html>"
+
+
+def parse_roundtrip(spark, sf_dir):
+    """Wrap documents.text into a synthetic page, run the full tokenizer +
+    tree builder + extractor, and return the extracted title/main_text.
+    DuckDB oracle: identity on (doc_id, text) — so the driver's value-hash
+    gate checks the kernel end-to-end."""
+    from .pipeline.kernel_stage import parse_batch
+    from .pipeline.schema import PARSED_SCHEMA
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("text").rlike("^[a-z0-9 ]*$"))
+            .select(
+                F.col("doc_id"),
+                F.concat(F.lit('<!DOCTYPE html><html><head><title>doc-'),
+                         F.col("doc_id").cast("string"),
+                         F.lit('</title></head><body><div class="content">'),
+                         F.col("text"),
+                         F.lit("</div></body></html>")).alias("page")))
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode("page", "utf-8").alias("html"),
+        F.lit("").alias("lang"))
+    parsed = pages.mapInPandas(parse_batch, schema=PARSED_SCHEMA)
+    return parsed.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.col("status"), F.col("title"),
+        F.col("main_text"))
