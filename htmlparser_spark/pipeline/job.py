@@ -22,6 +22,13 @@ from .schema import LINEAGE_SCHEMA, PAGES_SCHEMA, PARSED_SCHEMA
 
 DEFAULT_SALT_THRESHOLD = 1 << 20  # pages larger than 1 MiB get their own tier
 KERNEL_INPUT_COLS = ("url", "warc_ts", "html", "lang")
+# Lineage/resume bucket count. Deliberately much larger than any realistic
+# shuffle-partition count: repartition(N, part_key) hashes the key again, so
+# with only ~N distinct keys the balls-into-bins collisions leave ~1/e of the
+# partitions empty and give others 2-3x the load (measured 0..1063 pages/task
+# at N=64). With 4096 buckets every shuffle partition draws many keys and the
+# load evens out; resume granularity gets finer at the same time.
+PART_KEY_BUCKETS = 4096
 
 
 def build_session(app="htmlparser-spark", cpus=None, shuffle_partitions=None,
@@ -71,11 +78,11 @@ def dedup_latest(df: DataFrame) -> DataFrame:
 
 # --- S3/S4: explicit partitioning + size-tier salting ------------------------
 
-def with_part_key(df: DataFrame, num_partitions: int) -> DataFrame:
+def with_part_key(df: DataFrame, num_buckets: int = PART_KEY_BUCKETS) -> DataFrame:
     """Deterministic partition key from the url hash — never task ids — so
     lineage/resume is stable across runs (S9)."""
     return df.withColumn(
-        "part_key", F.pmod(F.xxhash64("url"), F.lit(num_partitions)).cast("long"))
+        "part_key", F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("long"))
 
 
 def repartition_pages(df: DataFrame, num_partitions: int,
@@ -146,7 +153,7 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
 
     if dedup:
         df = dedup_latest(df)
-    df = with_part_key(df, num_partitions)
+    df = with_part_key(df)
 
     parsed_path = os.path.join(out_dir, "parsed")
     lineage_path = os.path.join(out_dir, "_lineage")
