@@ -54,26 +54,46 @@ def flatten(document) -> tuple[Arena, list]:
     a = Arena()
     nodes = []
     stack = [(document, -1, 0, False)]
+    # bound-method locals: this loop runs once per DOM node and the attribute
+    # lookups dominate it
+    nodes_a = nodes.append
+    kind_a = a.kind.append
+    tag_a = a.tag.append
+    parent_a = a.parent.append
+    depth_a = a.depth.append
+    dlen_a = a.direct_text_len.append
+    tdata_a = a.text_data.append
+    anchor_a = a.is_anchor_desc.append
+    tlen_a = a.text_len.append
+    llen_a = a.link_text_len.append
+    ndesc_a = a.n_desc_tags.append
+    push = stack.append
+    pop = stack.pop
+    n = 0
     while stack:
-        node, parent_id, depth, anchor = stack.pop()
-        nid = a.n
-        a.n += 1
-        nodes.append(node)
-        is_text = node.kind == "Text"
-        data = node.data if is_text else ""
-        a.kind.append(node.kind)
-        a.tag.append(node.tag_name)
-        a.parent.append(parent_id)
-        a.depth.append(depth)
-        a.direct_text_len.append(len(data))
-        a.text_data.append(data)
-        a.is_anchor_desc.append(anchor)
-        a.text_len.append(0)
-        a.link_text_len.append(0)
-        a.n_desc_tags.append(0)
-        child_anchor = anchor or node.tag_name == "a"
-        for child in reversed(node.children):
-            stack.append((child, nid, depth + 1, child_anchor))
+        node, parent_id, depth, anchor = pop()
+        nid = n
+        n += 1
+        nodes_a(node)
+        kind = node.kind
+        data = node.data if kind == "Text" else ""
+        kind_a(kind)
+        tag_a(node.tag_name)
+        parent_a(parent_id)
+        depth_a(depth)
+        dlen_a(len(data))
+        tdata_a(data)
+        anchor_a(anchor)
+        tlen_a(0)
+        llen_a(0)
+        ndesc_a(0)
+        children = node.children
+        if children:
+            child_anchor = anchor or node.tag_name == "a"
+            cdepth = depth + 1
+            for child in reversed(children):
+                push((child, nid, cdepth, child_anchor))
+    a.n = n
     # bottom-up accumulation (children have larger ids than parents is NOT
     # guaranteed by this stack order — it is: preorder with parent before
     # child, so iterate ids descending and add into parent)

@@ -173,6 +173,12 @@ _IMPLIED_END_TAGS = ("dd", "dt", "li", "optgroup", "option", "rb", "rp",
 _HEAD_RESIDENT_TAGS = ("base", "basefont", "bgsound", "link", "meta",
                        "noframes", "script", "style", "template", "title")  # :573,646
 
+# frozenset views for O(1) membership in the hot in-body dispatch
+_HEAD_RESIDENT_SET = frozenset(_HEAD_RESIDENT_TAGS)
+_BLOCK_START_SET = frozenset(_BLOCK_START_TAGS)
+_BLOCK_END_SET = frozenset(_BLOCK_END_TAGS)
+_HEADING_SET = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+
 
 class Parser:
     """HTMLParser.cs:1-1194."""
@@ -225,20 +231,22 @@ class Parser:
         return el
 
     def insert_foreign_element(self, token):  # insert_a_foreign_element, :122-135
-        target = self.find_appropriate_place()
+        target = self.current_node()  # find_appropriate_place, inlined
         el = self.create_element_for_token(token)
         target.append_child(el)
         self.open_elements.append(el)
         return el
 
     def insert_a_character(self, data):  # :517-533
-        target = self.find_appropriate_place()
+        target = self.current_node()  # find_appropriate_place, inlined
         if target.kind == "Document":
             return
-        last = target.last_child()
-        if last is not None and last.kind == "Text":
-            last.append_data(data)
-            return
+        children = target.children
+        if children:
+            last = children[-1]
+            if last.kind == "Text":
+                last._chunks.append(data)
+                return
         target.append_child(new_text(data))
 
     def has_element_in_scope(self, tag_name):  # :857-859 — stub: False (Q9)
@@ -532,28 +540,81 @@ class Parser:
         self._reprocess = True
 
     def run_in_body_mode(self, token):  # :597-855
-        if token.t == CHARS:
+        # Dispatch is split by token type with frozenset membership; the
+        # branch ORDER within each type matches the C# check sequence exactly
+        # (the original sequential is_start_tag_of chain cost ~12 calls/token).
+        t = token.t
+        if t == CHARS:
             self._chars_in_body(token.data)
             return
-        if token.t == COMMENT:
+        if t == COMMENT:
             raise KernelError("err:not-implemented:comment")
-        if token.t == DOCTYPE:
+        if t == DOCTYPE:
             self.on_error()
             return
-        if token.is_start_tag_of("html"):
-            self.on_error()
+        name = token.tag.name
+        if t == START_TAG:
+            if name == "html":
+                self.on_error()
+                return
+            if name in _HEAD_RESIDENT_SET:
+                self.run_in_head_mode(token)
+                return
+            if name == "body":
+                self.on_error()
+                raise KernelError("err:not-implemented:in-body-body")  # :659
+            if name == "frameset":
+                raise KernelError("err:not-implemented:in-body-frameset")  # :663
+            # EOF branch (:666-673) is dead: the pump returns on EOF first
+            if name in _BLOCK_START_SET:  # :716-723 — only fires when a p is
+                # literally on the stack; otherwise FALLS THROUGH
+                for e in self.open_elements:
+                    if e.tag_name == "p":
+                        self.close_a_p_element()
+                        self.insert_foreign_element(token)
+                        return
+            if name in _HEADING_SET:
+                raise KernelError("err:not-implemented:in-body-heading")  # :730
+            if name == "pre" or name == "listing":
+                raise KernelError("err:not-implemented:in-body-pre")  # :739
+            if name == "form":
+                raise KernelError("err:not-implemented:in-body-form")  # :748
+            if name == "li":  # :752-778 — `node` is never reassigned, so an
+                # li start with an li current node loops, draining the stack
+                # until Peek/Pop crashes (err:empty-stack)
+                self.frameset_ok = False
+                node = self.current_node()
+                while node.tag_name == "li":
+                    self.generate_implied_end_tags(except_for="li")
+                    if self.current_node().tag_name != "li":
+                        self.on_error()
+                    self.pop_element_until("li")
+                if self.has_element_in_button_scope("p"):
+                    self.close_a_p_element()
+                self.insert_foreign_element(token)
+                return
+            if name == "dd" or name == "dt":
+                raise KernelError("err:not-implemented:in-body-dd-dt")  # :782
+            if name == "plaintext":
+                raise KernelError("err:not-implemented:in-body-plaintext")  # :787
+            if name == "button":  # :790-801 — scope stub False
+                if self.has_element_in_scope("button"):
+                    self.on_error()
+                    self.generate_implied_end_tags()
+                    self.pop_element_until("button")
+                self.reconstruct_active_formatting_elements()
+                self.insert_foreign_element(token)
+                self.frameset_ok = False
+                return
+            # any other start tag (:845-852)
+            self.reconstruct_active_formatting_elements()
+            self.insert_foreign_element(token)
             return
-        if (token.is_start_tag_of(*_HEAD_RESIDENT_TAGS)
-                or token.is_end_tag_of("template")):
+        # END_TAG
+        if name == "template":
             self.run_in_head_mode(token)
             return
-        if token.is_start_tag_of("body"):
-            self.on_error()
-            raise KernelError("err:not-implemented:in-body-body")  # :659
-        if token.is_start_tag_of("frameset"):
-            raise KernelError("err:not-implemented:in-body-frameset")  # :663
-        # EOF branch (:666-673) is dead: the pump returns on EOF first (:1113)
-        if token.is_end_tag_of("body"):  # :676-692 — mode switch WITHOUT pop
+        if name == "body":  # :676-692 — mode switch WITHOUT pop
             if not any(e.tag_name == "body" for e in self.open_elements):
                 self.on_error()
                 return
@@ -562,7 +623,7 @@ class Parser:
                 return  # NB: returns (ignores token) — deviation from spec kept
             self.mode = M_AFTER_BODY
             return
-        if token.is_end_tag_of("html"):  # :694-713
+        if name == "html":  # :694-713
             if not any(e.tag_name == "body" for e in self.open_elements):
                 self.on_error()
                 return
@@ -572,68 +633,25 @@ class Parser:
             self.mode = M_AFTER_BODY
             self._reprocess = True
             return
-        if token.is_start_tag_of(*_BLOCK_START_TAGS):  # :716-723 — only
-            # fires when a p is literally on the stack; otherwise FALLS THROUGH
-            if any(e.tag_name == "p" for e in self.open_elements):
-                self.close_a_p_element()
-                self.insert_foreign_element(token)
-                return
-        if token.is_start_tag_of("h1", "h2", "h3", "h4", "h5", "h6"):
-            raise KernelError("err:not-implemented:in-body-heading")  # :730
-        if token.is_start_tag_of("pre", "listing"):
-            raise KernelError("err:not-implemented:in-body-pre")  # :739
-        if token.is_start_tag_of("form"):
-            raise KernelError("err:not-implemented:in-body-form")  # :748
-        if token.is_start_tag_of("li"):  # :752-778 — `node` is never
-            # reassigned, so an li start with an li current node loops,
-            # draining the stack until Peek/Pop crashes (err:empty-stack)
-            self.frameset_ok = False
-            node = self.current_node()
-            while node.tag_name == "li":
-                self.generate_implied_end_tags(except_for="li")
-                if self.current_node().tag_name != "li":
-                    self.on_error()
-                self.pop_element_until("li")
-            if self.has_element_in_button_scope("p"):
-                self.close_a_p_element()
-            self.insert_foreign_element(token)
-            return
-        if token.is_start_tag_of("dd", "dt"):
-            raise KernelError("err:not-implemented:in-body-dd-dt")  # :782
-        if token.is_start_tag_of("plaintext"):
-            raise KernelError("err:not-implemented:in-body-plaintext")  # :787
-        if token.is_start_tag_of("button"):  # :790-801 — scope stub False
-            if self.has_element_in_scope("button"):
-                self.on_error()
-                self.generate_implied_end_tags()
-                self.pop_element_until("button")
-            self.reconstruct_active_formatting_elements()
-            self.insert_foreign_element(token)
-            self.frameset_ok = False
-            return
-        if token.is_end_tag_of(*_BLOCK_END_TAGS):  # :804-820 — scope stub
-            # False, so ALWAYS parse error + ignore (Q9)
-            if not self.has_element_in_scope(token.tag.name):
+        if name in _BLOCK_END_SET:  # :804-820 — scope stub False, so ALWAYS
+            # parse error + ignore (Q9)
+            if not self.has_element_in_scope(name):
                 self.on_error()
                 return
             self.generate_implied_end_tags()
-            if self.current_node().tag_name != token.tag.name:
+            if self.current_node().tag_name != name:
                 self.on_error()
-            self.pop_element_until(token.tag.name)
+            self.pop_element_until(name)
             return
-        if token.is_end_tag_of("form"):
+        if name == "form":
             raise KernelError("err:not-implemented:in-body-end-form")  # :824
-        if token.is_end_tag_of("p"):
+        if name == "p":
             raise KernelError("err:not-implemented:in-body-end-p")  # :828
-        if token.is_end_tag_of("li"):  # :831-842 — no scope check; double pop
+        if name == "li":  # :831-842 — no scope check; double pop
             self.generate_implied_end_tags(except_for="li")
             if self.current_node().tag_name != "li":
                 self.on_error()
             self.pop_element_until("li")
-            return
-        if token.t == START_TAG:  # any other start tag (:845-852)
-            self.reconstruct_active_formatting_elements()
-            self.insert_foreign_element(token)
             return
         # any other end tag (:854)
         raise KernelError("err:not-implemented:in-body-any-other-end-tag")

@@ -230,16 +230,30 @@ _RX_ATTR_VALUE_UNQ = re.compile(r"[^\t\n\x0c &>\x00\"'<=`]+")  # :721-746
 _RX_COMMENT = re.compile(r"[^<\-\x00]+")    # :844-865
 _RX_BOGUS_COMMENT = re.compile(r"[^>\x00]+")  # :773-788
 
+# Whole-tag fast paths (Data state only). A match is exactly the shape the
+# per-char machine walks with NO parse error, NO charref, NO case folding and
+# NO self-closing flag: lowercase name, ws-separated lowercase attrs with
+# double-quoted &-free NUL-free values, optional trailing ws. Anything else
+# (uppercase, ', unquoted, `/>`, `&` in a value, …) falls through to the
+# machine, so quirks Q1/Q5/Q6/Q17 and all error counters are untouched.
+# Attr-state whitespace is tab/LF/FF/space only (CR is NOT whitespace there).
+_WS_ATTR = r"\t\n\x0c "
+_RX_FAST_START = re.compile(
+    r"<([a-z][a-z0-9]*)"
+    r"((?:[" + _WS_ATTR + r"]+[a-z][a-z0-9-]*=\"[^\"&\x00]*\")*)"
+    r"[" + _WS_ATTR + r"]*>")
+_RX_FAST_END = re.compile(r"</([a-z][a-z0-9]*)[" + _WS_ATTR + r"]*>")
+_RX_FAST_ATTR = re.compile(r"([a-z][a-z0-9-]*)=\"([^\"&\x00]*)\"")
+
 _ATTR_VALUE_RETURN_STATES = (S_ATTR_VALUE_DQ, S_ATTR_VALUE_SQ, S_ATTR_VALUE_UNQ)
 
 
 def to_code_units(s: str) -> str:
-    """Split astral chars into surrogate pairs, mirroring C# UTF-16 strings."""
-    try:
-        s.encode("utf-16-le")  # raises only on lone surrogates (can't happen)
-    except UnicodeEncodeError:
-        pass
-    if not s or max(map(ord, s)) <= 0xFFFF:
+    """Split astral chars into surrogate pairs, mirroring C# UTF-16 strings.
+    str.isascii() is O(1) (compact-unicode kind flag), so the overwhelmingly
+    common ASCII page skips the scan entirely; max(s) is a C-level char scan,
+    far cheaper than max(map(ord, s))."""
+    if not s or s.isascii() or ord(max(s)) <= 0xFFFF:
         return s
     b = s.encode("utf-16-le", "surrogatepass")
     return "".join(map(chr, memoryview(b).cast("H")))
@@ -249,6 +263,8 @@ def to_wellformed(s: str) -> str:
     """Recombine surrogate pairs into astral chars for output (the reverse of
     to_code_units); lone surrogates become U+FFFD like the C# UTF-8 console
     encoder would produce."""
+    if s.isascii():
+        return s
     try:
         s.encode("utf-8")
         return s
@@ -418,6 +434,25 @@ class Tokenizer:
                         self._cursor = m.end()
                         self._emit_chars(m.group())
                         continue
+                    # whole-tag fast path: exact shapes the machine would walk
+                    # error-free (see _RX_FAST_* definitions)
+                    if self._cursor < self._n and inp[self._cursor] == "<":
+                        m = _RX_FAST_START.match(inp, self._cursor)
+                        if m:
+                            tag = Tag(m.group(1))
+                            attrs = m.group(2)
+                            if attrs:
+                                tag.attributes = [
+                                    [a, [v] if v else []]
+                                    for a, v in _RX_FAST_ATTR.findall(attrs)]
+                            self._cursor = m.end()
+                            self._emit_token(Token(START_TAG, tag=tag))
+                            continue
+                        m = _RX_FAST_END.match(inp, self._cursor)
+                        if m:
+                            self._cursor = m.end()
+                            self._emit_token(Token(END_TAG, tag=Tag(m.group(1))))
+                            continue
                 self._consume()
                 c = self._cur
                 if c == "&":
