@@ -19,10 +19,12 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from htmlparser_spark import ops
+from htmlparser_spark import multimodal, ops
 from htmlparser_spark.pipeline.kernel_stage import nodes_batch, parse_batch
 from htmlparser_spark.pipeline.schema import NODES_SCHEMA, PARSED_SCHEMA
 from htmlparser_spark.synth import synth_pages
+
+N_MEDIA = 400  # fixed-size deterministic media table for multimodal queries
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -74,6 +76,29 @@ def parse_nodes_stats(spark, sf_dir):
                  F.max("depth").alias("max_depth")))
 
 
+# --- multimodal binary-column queries (deterministic synthetic media table;
+# the DuckDB oracle recomputes the metadata arithmetically, so the value-hash
+# gate verifies the binary decode round-trip) ---------------------------------
+
+def media_decode(spark, sf_dir):
+    return multimodal.media_decode(spark, N_MEDIA)
+
+
+def media_image_resize(spark, sf_dir):
+    return multimodal.image_resize(spark, N_MEDIA)
+
+
+def media_audio_frames(spark, sf_dir):
+    return multimodal.audio_frame_sample(spark, N_MEDIA)
+
+
+def media_features(spark, sf_dir):
+    df = multimodal.media_feature_vector(spark, N_MEDIA)
+    return df.select("media_id", "kind",
+                     F.round(F.aggregate("feature", F.lit(0.0),
+                                         lambda a, v: a + v), 6).alias("feat_sum"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # kernel (parse/extract) — flagship is oracle-checkable
@@ -100,6 +125,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "embedding_topk": ops.embedding_topk,
         "embedding_ann_lsh": ops.embedding_ann_lsh,
+        "embedding_ann_ivf": ops.embedding_ann_ivf,
+        # multimodal binary columns
+        "media_decode": media_decode,
+        "media_image_resize": media_image_resize,
+        "media_audio_frames": media_audio_frames,
+        "media_features": media_features,
         # text analysis
         "text_token_count": ops.text_token_count,
         "text_quality": ops.text_quality,
@@ -316,5 +347,104 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
             FROM documents
+        """,
+        "embedding_ann_ivf": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> x::double) AS v
+                       FROM embeddings),
+            c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+            ac AS (
+              SELECT e.vec_id, e.v, c.cent_id,
+                     list_dot_product(e.v, c.cv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(c.cv, c.cv))) AS cos_c
+              FROM e, c),
+            assigned AS (
+              SELECT vec_id, v, cent_id AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cos_c DESC, cent_id ASC) AS rn FROM ac)
+              WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            qc AS (
+              SELECT q.query_id, q.qv, c.cent_id,
+                     list_dot_product(q.qv, c.cv)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(c.cv, c.cv))) AS cos_c
+              FROM q, c),
+            probes AS (
+              SELECT query_id, qv, cent_id AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_c DESC, cent_id ASC) AS rn FROM qc)
+              WHERE rn <= 2),
+            cand AS (
+              SELECT p.query_id, a.vec_id,
+                     list_dot_product(p.qv, a.v)
+                       / (sqrt(list_dot_product(p.qv, p.qv))
+                          * sqrt(list_dot_product(a.v, a.v))) AS cos
+              FROM assigned a JOIN probes p ON a.cell = p.cell
+              WHERE a.vec_id <> p.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM cand)
+            SELECT query_id, vec_id, rank, round(cos, 4) AS cos_r
+            FROM ranked WHERE rank <= 3
+        """,
+        # media oracles recompute the synthetic metadata arithmetically from
+        # media_id (htmlparser_spark/multimodal.py formulas) — matching values
+        # prove the Spark side decoded the actual bytes correctly
+        "media_decode": """
+            WITH ids AS (SELECT unnest(generate_series(0, 399)) AS media_id),
+            img AS (
+              SELECT media_id, 16 + (media_id * 7919) % 240 AS w,
+                     16 + (media_id * 104729) % 240 AS h,
+                     1 + media_id % 3 AS c
+              FROM ids WHERE media_id % 2 = 0),
+            aud AS (
+              SELECT media_id, 8000 + (media_id % 5) * 4000 AS sr,
+                     1000 + (media_id * 31) % 9000 AS ns
+              FROM ids WHERE media_id % 2 = 1)
+            SELECT media_id, 'image' AS kind, w::int AS width, h::int AS height,
+                   c::int AS channels, NULL::int AS sample_rate,
+                   NULL::int AS n_samples,
+                   least(w * h * c, 4096)::int AS payload_len
+            FROM img
+            UNION ALL
+            SELECT media_id, 'audio', NULL, NULL, NULL, sr::int, ns::int,
+                   least(ns * 2, 4096)::int
+            FROM aud
+        """,
+        "media_image_resize": """
+            WITH ids AS (SELECT unnest(generate_series(0, 399)) AS media_id),
+            img AS (
+              SELECT media_id, 16 + (media_id * 7919) % 240 AS w,
+                     16 + (media_id * 104729) % 240 AS h,
+                     1 + media_id % 3 AS c
+              FROM ids WHERE media_id % 2 = 0),
+            calc AS (
+              SELECT media_id, w // 2 AS w2, h // 2 AS h2, c,
+                     least(w * h * c, 4096) AS plen
+              FROM img)
+            SELECT media_id, w2::int AS out_w, h2::int AS out_h,
+                   c::int AS channels,
+                   least((plen + 3) // 4, w2 * h2 * c)::int AS out_len
+            FROM calc
+        """,
+        "media_audio_frames": """
+            WITH ids AS (SELECT unnest(generate_series(0, 399)) AS media_id),
+            a AS (
+              SELECT media_id, 1000 + (media_id * 31) % 9000 AS ns,
+                     least((1000 + (media_id * 31) % 9000) * 2, 4096) AS plen
+              FROM ids WHERE media_id % 2 = 1),
+            fr AS (
+              SELECT media_id, ns, plen,
+                     unnest(generate_series(0, (ns - 1) // 1000)) AS frame_idx
+              FROM a)
+            SELECT media_id, frame_idx::int AS frame_idx,
+                   greatest(0, least(plen - frame_idx * 2000,
+                                     least(256, ns - frame_idx * 1000) * 2))::int
+                     AS frame_bytes
+            FROM fr
         """,
     }

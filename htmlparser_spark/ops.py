@@ -298,6 +298,53 @@ def embedding_ann_lsh(spark, sf_dir, k=3, n_queries=5, n_planes=8):
                     F.round("cos", 4).alias("cos_r")))
 
 
+N_IVF_CENTROIDS = 16
+N_IVF_PROBES = 2
+
+
+def embedding_ann_ivf(spark, sf_dir, k=3, n_queries=5):
+    """IVF-style ANN: the corpus is inverted into N_IVF_CENTROIDS cells
+    (nearest-centroid assignment); a query scans only its N_IVF_PROBES
+    closest cells. Centroids are the vectors with vec_id < N_IVF_CENTROIDS —
+    deterministic, so the DuckDB oracle reproduces the exact result (unlike
+    sign-LSH whose recall depends on plane draws). At 100 TB the assignment
+    is one broadcast-join pass and each query touches ~probes/cells of the
+    corpus; cells are the shuffle key."""
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id", F.transform("embedding",
+                                         lambda x: x.cast("double")).alias("v")))
+    cents = (emb.filter(F.col("vec_id") < N_IVF_CENTROIDS)
+             .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")))
+    # nearest-centroid assignment (broadcast the tiny centroid set)
+    ac = emb.crossJoin(F.broadcast(cents)) \
+        .withColumn("cos_c", _cosine(F.col("v"), F.col("cv")))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("cent_id").asc())
+    assigned = (ac.withColumn("rn", F.row_number().over(w_assign))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "v", F.col("cent_id").alias("cell")))
+    # per-query probe cells = its N_IVF_PROBES nearest centroids
+    q = (emb.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    qc = q.crossJoin(F.broadcast(cents)) \
+        .withColumn("cos_c", _cosine(F.col("qv"), F.col("cv")))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("cent_id").asc())
+    probes = (qc.withColumn("rn", F.row_number().over(w_probe))
+              .filter(F.col("rn") <= N_IVF_PROBES)
+              .select("query_id", "qv", F.col("cent_id").alias("cell")))
+    # search only the probed cells
+    cand = (assigned.join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("cos", _cosine(F.col("qv"), F.col("v"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank",
+                    F.round("cos", 4).alias("cos_r")))
+
+
 # --- text analysis ------------------------------------------------------------------
 
 STOPWORDS = {

@@ -1,0 +1,158 @@
+"""Structured Streaming variant of the extraction pipeline.
+
+A crawl is naturally a stream of WARC drops: new page files land in a
+directory (or Kafka/Iceberg CDC in prod) and the extractor keeps up
+incrementally. The streaming plan reuses the EXACT batch kernel stage —
+``mapInPandas(parse_batch)`` is stateless, so it is legal on a streaming
+DataFrame — plus:
+
+  - file-source scan with ``maxFilesPerTrigger`` back-pressure (S1-stream),
+  - the same url-hash partitioning expression (S3) computed per micro-batch,
+  - exactly-once parquet sink via checkpointed file-sink commit log (S10),
+  - watermarked tumbling-window error-counter aggregation (S8-stream):
+    late pages beyond the watermark are dropped deterministically,
+  - a custom stateful operator via ``applyInPandasWithState``: per-host
+    running crawl stats (pages, bytes, error pages seen so far) — the
+    streaming analogue of a hypertable rollup.
+
+Scale shape: each micro-batch is a normal Spark job, so everything said in
+pipeline/job.py about partitioning, salting, and skew applies per batch; the
+stateful host rollup shuffles on `host`, whose cardinality (millions) dwarfs
+executor count, and state is RocksDB-backed on a real cluster
+(spark.sql.streaming.stateStore.providerClass).
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from ..pipeline.kernel_stage import parse_batch
+from ..pipeline.schema import PAGES_SCHEMA, PARSED_SCHEMA
+
+
+def read_page_stream(spark: SparkSession, src_dir: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    """S1-stream: file-source scan of page parquet drops."""
+    reader = (spark.readStream.schema(PAGES_SCHEMA)
+              # crawl drops arrive as whole directories (one per WARC dump)
+              .option("recursiveFileLookup", "true"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def parse_page_stream(pages: DataFrame, extract: bool = True) -> DataFrame:
+    """S5 on a stream: identical kernel, identical output schema."""
+    with_key = pages.withColumn(
+        "part_key", F.pmod(F.xxhash64("url"), F.lit(4096)).cast("long"))
+    return with_key.mapInPandas(
+        partial(parse_batch, extract=extract), schema=PARSED_SCHEMA)
+
+
+def write_parsed_stream(parsed: DataFrame, out_dir: str,
+                        trigger_available_now: bool = True):
+    """S10-stream: exactly-once parquet sink (file-sink commit log in the
+    checkpoint dir makes re-runs idempotent)."""
+    writer = (parsed.writeStream
+              .format("parquet")
+              .option("path", os.path.join(out_dir, "parsed"))
+              .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+              .outputMode("append"))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def error_window_stream(parsed: DataFrame, window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """S8-stream: watermarked tumbling-window status counters. Append mode
+    emits a window only once the watermark passes it — deterministic late-data
+    policy instead of unbounded state."""
+    return (parsed
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"), F.col("status"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_errors").alias("n_errors"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "status", "n", "n_errors"))
+
+
+# --- custom stateful operator: per-host running crawl stats -------------------
+
+HOST_STATE_SCHEMA = StructType([
+    StructField("pages", LongType()),
+    StructField("bytes", LongType()),
+    StructField("err_pages", LongType()),
+])
+
+HOST_ROLLUP_SCHEMA = StructType([
+    StructField("host", StringType()),
+    StructField("pages", LongType()),
+    StructField("bytes", LongType()),
+    StructField("err_pages", LongType()),
+    StructField("batch_ts", TimestampType()),
+])
+
+
+def _host_rollup(key: Tuple[str], batches: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    """Running (pages, bytes, error-pages) per host across micro-batches."""
+    pages = 0
+    byte_count = 0
+    err = 0
+    last_ts = None
+    for pdf in batches:
+        pages += len(pdf)
+        byte_count += int(pdf["html_bytes"].sum())
+        err += int((pdf["status"] != "ok").sum())
+        ts = pdf["warc_ts"].max()
+        if last_ts is None or (ts is not None and ts > last_ts):
+            last_ts = ts
+    if state.exists:
+        p0, b0, e0 = state.get
+    else:
+        p0, b0, e0 = 0, 0, 0
+    new = (p0 + pages, b0 + byte_count, e0 + err)
+    state.update(new)
+    yield pd.DataFrame({"host": [key[0]], "pages": [new[0]],
+                        "bytes": [new[1]], "err_pages": [new[2]],
+                        "batch_ts": [last_ts]})
+
+
+def host_rollup_stream(parsed: DataFrame) -> DataFrame:
+    """Stateful per-host rollup (applyInPandasWithState). Emits the updated
+    running totals for every host seen in each micro-batch."""
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1)
+    return (parsed
+            .withColumn("host", host)
+            .groupBy("host")
+            .applyInPandasWithState(
+                _host_rollup,
+                outputStructType=HOST_ROLLUP_SCHEMA,
+                stateStructType=HOST_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_stream_once(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
+    """Drain everything currently in src_dir through the kernel into
+    out_dir/parsed exactly once (availableNow), then stop. Re-running after
+    new files arrive processes ONLY the new files (checkpoint)."""
+    pages = read_page_stream(spark, src_dir)
+    parsed = parse_page_stream(pages)
+    q = write_parsed_stream(parsed, out_dir)
+    q.awaitTermination()
+    out = spark.read.schema(PARSED_SCHEMA).parquet(os.path.join(out_dir, "parsed"))
+    n = out.count()
+    return {"rows_total": n}

@@ -1,0 +1,82 @@
+"""Multimodal binary-column tests: synthetic FIMG/FAUD blobs through Arrow
+batches; decode/resize/frame-sample metadata must match the closed forms."""
+import os
+import sys
+
+import pytest
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from htmlparser_spark import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def spark():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    s = (SparkSession.builder.master("local[2]")
+         .appName("htmlparser-multimodal-tests")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .config("spark.executorEnv.PYTHONPATH", root)
+         .getOrCreate())
+    yield s
+    s.stop()
+
+
+def test_blob_roundtrip_local():
+    kind, blob = mm.make_blob(6)
+    assert kind == "image"
+    w, h, c, plen = mm._decode_image_blob(blob)
+    assert (w, h, c) == mm.image_dims(6)
+    assert plen == min(w * h * c, mm.PAYLOAD_CAP)
+    kind, blob = mm.make_blob(7)
+    assert kind == "audio"
+    sr, ns, plen = mm._decode_audio_blob(blob)
+    assert (sr, ns) == mm.audio_params(7)
+    assert plen == min(ns * 2, mm.PAYLOAD_CAP)
+
+
+def test_media_decode_spark(spark):
+    rows = {r.media_id: r for r in mm.media_decode(spark, 50).collect()}
+    assert len(rows) == 50
+    for mid, r in rows.items():
+        if mid % 2 == 0:
+            assert r.kind == "image"
+            assert (r.width, r.height, r.channels) == mm.image_dims(mid)
+            assert r.sample_rate is None
+        else:
+            assert r.kind == "audio"
+            assert (r.sample_rate, r.n_samples) == mm.audio_params(mid)
+            assert r.width is None
+
+
+def test_image_resize_dims(spark):
+    rows = mm.image_resize(spark, 40).collect()
+    assert rows and all(r.media_id % 2 == 0 for r in rows)
+    for r in rows:
+        w, h, c = mm.image_dims(r.media_id)
+        assert (r.out_w, r.out_h, r.channels) == (w // 2, h // 2, c)
+        plen = min(w * h * c, mm.PAYLOAD_CAP)
+        assert r.out_len == min((plen + 3) // 4, r.out_w * r.out_h * c)
+
+
+def test_audio_frames_cover_samples(spark):
+    rows = mm.audio_frame_sample(spark, 40).collect()
+    assert rows and all(r.media_id % 2 == 1 for r in rows)
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid, frames in by_id.items():
+        _sr, ns = mm.audio_params(mid)
+        assert len(frames) == (ns - 1) // mm.FRAME_STRIDE + 1
+        idxs = sorted(f.frame_idx for f in frames)
+        assert idxs == list(range(len(frames)))
+
+
+def test_feature_vectors_deterministic(spark):
+    a = {r.media_id: r.feature for r in mm.media_feature_vector(spark, 20).collect()}
+    b = {r.media_id: r.feature for r in mm.media_feature_vector(spark, 20).collect()}
+    assert a == b
+    assert all(len(v) == mm.FEATURE_DIM for v in a.values())
+    assert all(-0.5 <= x <= 0.5 for v in a.values() for x in v)

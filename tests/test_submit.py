@@ -1,0 +1,41 @@
+"""spark-submit --py-files packaging test (north rule).
+
+Runs the real spark-submit CLI from a directory OUTSIDE the repo with only
+the built zip on --py-files: driver AND executor Python workers must resolve
+htmlparser_spark from the zip."""
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from scripts.make_pyfiles import build
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None,
+                    reason="spark-submit not on PATH")
+def test_spark_submit_pyfiles_end_to_end(tmp_path):
+    zip_path = build(str(tmp_path / "htmlparser_spark.zip"))
+    out = str(tmp_path / "out")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    res = subprocess.run(
+        ["spark-submit", "--master", "local[2]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--py-files", zip_path,
+         os.path.join(REPO, "scripts", "run_job.py"),
+         "--synth", "60", "--out", out],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600)
+    assert res.returncode == 0, res.stderr[-3000:]
+    metrics = json.loads(
+        [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1])
+    assert metrics["pages"] >= 60
+    assert metrics["ok_pages"] > 0
+    assert os.path.exists(os.path.join(out, "parsed"))
+    assert os.path.exists(os.path.join(out, "_lineage"))
