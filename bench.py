@@ -215,13 +215,16 @@ North rule: throughput scaling efficiency >= 0.8 between cluster sizes N and
 same job on the same input at two parallelism levels on one machine, per the
 task instructions ("e.g. local[8] and local[32], or N and 4N cores").
 
-Job: parse+extract of {rep['pages']} deterministic synthetic Common-Crawl-style
-pages (~100 MB raw HTML, seed={SEED}, htmlparser_spark/synth.py) through the
-full kernel stage: url-hash repartition + size-tier skew salting +
-mapInPandas Arrow kernel + output aggregation. Input generation and
-Python-worker warm-up are excluded from the timed window; each level runs in
-a fresh JVM; every number is best-of-6 (the sandbox VM shares a contended
-host — vCPU-migration noise slows arbitrary windows >3x).
+Job: parse+extract of {rep['levels'][str(levels[0])]['pages']} deterministic
+synthetic Common-Crawl-style pages
+({rep['levels'][str(levels[0])]['bytes'] / 1e6:.0f} MB raw HTML, seed={SEED},
+htmlparser_spark/synth.py, pre-written to parquet) through the full pipeline:
+scan -> url-hash repartition + size-tier skew salting -> mapInPandas Arrow
+kernel -> output aggregation. Corpus generation and Python-worker warm-up are
+excluded from the timed window; each level runs in a fresh JVM pinned with
+`taskset -c 0-(N-1)` so local[N] cannot borrow idle cores for its JVM/worker
+threads; every number is best-of-6 (the sandbox VM shares a contended host —
+vCPU-migration noise slows arbitrary windows >3x).
 
 | parallelism | wall sec | pages/sec | MB/s raw HTML |
 |---|---|---|---|
