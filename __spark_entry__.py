@@ -67,6 +67,34 @@ def parse_spans_explode(spark, sf_dir):
             .select("url", "s.node_id", "s.start", "s.end"))
 
 
+def parse_tokens_explode(spark, sf_dir):
+    """Tokenizer-only entry point (Program.cs:8-26 commented harness) exposed
+    as a debug tokens table: one row per emitted token."""
+    import pandas as pd
+    from htmlparser_spark.kernel.api import tokenize
+    from htmlparser_spark.kernel.tokenizer import to_wellformed
+
+    def tok_batch(batches):
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+                toks, _errs = tokenize(bytes(html))
+                for i, t in enumerate(toks):
+                    name = t[1] if t[0] in ("start", "end") else ""
+                    data = t[1] if t[0] in ("chars", "comment") else ""
+                    # token payloads are UTF-16 code units (may hold lone
+                    # surrogates) — recombine before they hit Arrow
+                    rows.append((url, i, t[0], str(name),
+                                 to_wellformed(str(data)[:64])))
+            yield pd.DataFrame(
+                rows, columns=["url", "pos", "token_type", "tag", "data_prefix"])
+
+    return (synth_pages(spark, 60, seed=42, partitions=2)
+            .mapInPandas(tok_batch,
+                         "url string, pos long, token_type string, "
+                         "tag string, data_prefix string"))
+
+
 def parse_nodes_stats(spark, sf_dir):
     nodes = (synth_pages(spark, 60, seed=42, partitions=2)
              .mapInPandas(nodes_batch, schema=NODES_SCHEMA))
@@ -108,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_error_counters": parse_error_counters,
         "parse_spans_explode": parse_spans_explode,
         "parse_nodes_stats": parse_nodes_stats,
+        "parse_tokens_explode": parse_tokens_explode,
         # pipeline-shape relational ops (S2/S6/S7/S8)
         "filter_project": ops.filter_project,
         "window_dedup_latest": ops.window_dedup_latest,
@@ -122,6 +151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": ops.dedup_ngram_jaccard,
         "dedup_minhash_lsh": ops.dedup_minhash_lsh,
         "dedup_simhash": ops.dedup_simhash,
+        "dedup_embedding_cosine": ops.dedup_embedding_cosine,
+        # TPC-H second-fact-key joins
+        "part_brand_revenue": ops.part_brand_revenue,
+        "supplier_nation_rank": ops.supplier_nation_rank,
         # similarity search
         "embedding_topk": ops.embedding_topk,
         "embedding_ann_lsh": ops.embedding_ann_lsh,
@@ -347,6 +380,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
             FROM documents
+        """,
+        "dedup_embedding_cosine": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> x::double) AS v
+                       FROM embeddings),
+            c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 16),
+            ac AS (
+              SELECT e.vec_id, e.v, c.cent_id,
+                     list_dot_product(e.v, c.cv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(c.cv, c.cv))) AS cos_c
+              FROM e, c),
+            assigned AS (
+              SELECT vec_id, v, cent_id AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cos_c DESC, cent_id ASC) AS rn FROM ac)
+              WHERE rn = 1),
+            pairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))) AS cos
+              FROM assigned a JOIN assigned b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b, round(cos, 4) AS cos_r
+            FROM pairs WHERE cos >= 0.40
+        """,
+        "part_brand_revenue": """
+            SELECT p_brand, p_type, count(*) AS n_items,
+                   sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::bigint)
+                     AS revenue_cents,
+                   max(p_size) AS max_size
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand, p_type
+        """,
+        "supplier_nation_rank": """
+            WITH per_sup AS (
+              SELECT n_name, s_suppkey, s_name,
+                     sum(round(l_extendedprice * (1 - l_discount) * 100, 0)::bigint)
+                       AS revenue_cents
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY n_name, s_suppkey, s_name)
+            SELECT n_name, s_suppkey, s_name, revenue_cents, rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY n_name
+                      ORDER BY revenue_cents DESC, s_suppkey ASC) AS rank
+                  FROM per_sup)
+            WHERE rank <= 3
         """,
         "embedding_ann_ivf": """
             WITH e AS (SELECT vec_id,

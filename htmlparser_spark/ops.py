@@ -345,6 +345,69 @@ def embedding_ann_ivf(spark, sf_dir, k=3, n_queries=5):
                     F.round("cos", 4).alias("cos_r")))
 
 
+def dedup_embedding_cosine(spark, sf_dir, threshold=0.40):
+    """Embedding-cosine near-dup pairs. Scale path: candidates restricted to
+    pairs sharing an IVF cell (same deterministic centroid assignment as
+    embedding_ann_ivf) — the shuffle key is the cell, never an n² cross
+    join. At 100 TB the cell count grows with the corpus so cell population
+    stays bounded."""
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id", F.transform("embedding",
+                                         lambda x: x.cast("double")).alias("v")))
+    cents = (emb.filter(F.col("vec_id") < N_IVF_CENTROIDS)
+             .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")))
+    ac = emb.crossJoin(F.broadcast(cents)) \
+        .withColumn("cos_c", _cosine(F.col("v"), F.col("cv")))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("cent_id").asc())
+    assigned = (ac.withColumn("rn", F.row_number().over(w_assign))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "v", F.col("cent_id").alias("cell")))
+    a = assigned.select(F.col("cell"), F.col("vec_id").alias("vec_a"),
+                        F.col("v").alias("va"))
+    b = assigned.select(F.col("cell"), F.col("vec_id").alias("vec_b"),
+                        F.col("v").alias("vb"))
+    pairs = (a.join(b, "cell")
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .withColumn("cos", _cosine(F.col("va"), F.col("vb")))
+             .filter(F.col("cos") >= threshold))
+    return pairs.select("vec_a", "vec_b", F.round("cos", 4).alias("cos_r"))
+
+
+def part_brand_revenue(spark, sf_dir):
+    """Fact-to-dim join on a second fact key (l_partkey): revenue and volume
+    by part brand/type. The part dim is broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                    0).cast("long")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand", "p_type")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(rev_c).alias("revenue_cents"),
+                 F.max("p_size").alias("max_size")))
+
+
+def supplier_nation_rank(spark, sf_dir):
+    """Revenue rank of suppliers within their nation: big-fact join +
+    broadcast dims + ranking window (shuffle keys: l_suppkey then
+    n_name)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev_c = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                    0).cast("long")
+    per_sup = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+               .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+               .groupBy("n_name", "s_suppkey", "s_name")
+               .agg(F.sum(rev_c).alias("revenue_cents")))
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue_cents").desc(), F.col("s_suppkey").asc())
+    return (per_sup.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("n_name", "s_suppkey", "s_name", "revenue_cents", "rank"))
+
+
 # --- text analysis ------------------------------------------------------------------
 
 STOPWORDS = {
