@@ -410,6 +410,23 @@ class Tokenizer:
             return matched
         return None
 
+    def _match_appropriate_end_tag(self, inp):
+        """Fast path shared by RCDATA/RAWTEXT/ScriptData: an exact lowercase
+        `</lastname>` at the cursor is precisely the sequence the per-char
+        less-than/end-tag-open/end-tag-name walk accepts with no parse error,
+        ending in emit + switch-to-Data (appropriate-end-tag rule,
+        HTMLTokenizer.cs:159-287/288-608). Anything else (uppercase,
+        whitespace, attributes, inappropriate name) falls to the machine."""
+        name = self._last_start_tag_name
+        if (name and inp.startswith("</", self._cursor)
+                and inp.startswith(name, self._cursor + 2)
+                and self._peek(2 + len(name)) == ">"):
+            self._cursor += len(name) + 3
+            self._emit_token(Token(END_TAG, tag=Tag(name)))
+            self._state = S_DATA
+            return True
+        return False
+
     def next_token(self):
         """HTMLTokenizer.cs:9-16 — drain FIFO, else run machine."""
         if self._emitting:
@@ -474,6 +491,8 @@ class Tokenizer:
                         self._cursor = m.end()
                         self._emit_chars(m.group())
                         continue
+                    if self._match_appropriate_end_tag(inp):
+                        continue
                 self._consume()
                 c = self._cur
                 if c == "&":
@@ -495,6 +514,8 @@ class Tokenizer:
                         self._cursor = m.end()
                         self._emit_chars(m.group())
                         continue
+                    if self._match_appropriate_end_tag(inp):
+                        continue
                 self._consume()
                 c = self._cur
                 if c == "<":
@@ -512,6 +533,8 @@ class Tokenizer:
                     if m:
                         self._cursor = m.end()
                         self._emit_chars(m.group())
+                        continue
+                    if self._match_appropriate_end_tag(inp):
                         continue
                 self._consume()
                 c = self._cur
