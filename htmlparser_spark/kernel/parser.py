@@ -62,6 +62,31 @@ class Node:
     def append_data(self, s):  # DOM/DOM.cs:58-60
         self._chunks.append(s)
 
+    # --- D4: CharacterData edits (DOM/DOM.cs:42-107), code-unit offsets ----
+    def substring_data(self, offset, count):  # :43-56
+        data = self.data
+        if offset > len(data):
+            raise KernelError("err:dom:index-size")  # IndexSizeError
+        return data[offset:] if offset + count > len(data) \
+            else data[offset:offset + count]
+
+    def insert_data(self, offset, s):  # :63-66
+        self.replace_data(offset, 0, s)
+
+    def delete_data(self, offset, count):  # :68-71
+        self.replace_data(offset, count, "")
+
+    def replace_data(self, offset, count, s):  # :73-107
+        data = self.data
+        if offset > len(data):
+            raise KernelError("err:dom:index-size")
+        if offset + count > len(data):
+            count = len(data) - offset
+        data = data[:offset] + s + data[offset:]  # insert at offset (:88)
+        delete_offset = offset + len(s)  # :90
+        data = data[:delete_offset] + data[delete_offset + count:]  # :92
+        self._chunks = [data]
+
     def is_element(self):
         return self.attributes is not None or self.kind.startswith("HTML")
 
@@ -78,6 +103,81 @@ class Node:
 
     def last_child(self):  # DOM/Node.cs:48-53
         return self.children[-1] if self.children else None
+
+    # --- D4: remove / replace / sibling nav (DOM/Node.cs:134-313) ----------
+    # NOTE on fidelity: the C# never assigns `_parent` (DOM/Node.cs:34 is the
+    # only mention besides the getter), so `parent_node` is ALWAYS null there
+    # and remove_child/replace_child as written can only throw NotFoundError.
+    # These methods are dead code in the reference (nothing on the parse path
+    # calls them). Our Node maintains parent pointers (required by
+    # extraction), so we implement the DOM-spec behavior the reference
+    # transcribed, with its remaining transcription bugs preserved.
+    @property
+    def index(self):  # Node.cs index-derived sibling accessors :54-68
+        return self.parent.children.index(self) if self.parent else -1
+
+    @property
+    def previous_sibling(self):  # :54-60
+        if self.parent is None:
+            return None
+        i = self.index - 1
+        return self.parent.children[i] if i >= 0 else None
+
+    @property
+    def next_sibling(self):  # :62-68
+        if self.parent is None:
+            return None
+        i = self.index + 1
+        return self.parent.children[i] if i < len(self.parent.children) else None
+
+    def remove_child(self, child):  # :138-141 → pre_remove :236-245
+        if child.parent is not self:
+            raise KernelError("err:dom:not-found")  # NotFoundError
+        _remove_node(child)
+        return child
+
+    def replace_child(self, node, child):  # :133-136 → repalce_child :144-222
+        parent = self
+        if parent.kind not in ("Document", "DocumentFragment") \
+                and not parent.is_element():
+            raise KernelError("err:dom:hierarchy-request")
+        if child.parent is not parent:
+            raise KernelError("err:dom:not-found")
+        if node.kind not in ("DocumentFragment", "DocumentType") \
+                and not node.is_element() \
+                and node.kind not in ("Text", "Comment"):
+            raise KernelError("err:dom:hierarchy-request")
+        if (node.kind == "Text" and parent.kind == "Document") or \
+                (node.kind == "DocumentType" and parent.kind != "Document"):
+            raise KernelError("err:dom:hierarchy-request")
+        if parent.kind == "Document":
+            if node.kind == "DocumentFragment":
+                # transcription bug kept (:171): `Count >= 1` (spec: > 1) and
+                # has_text_node_child checked on CHILD (spec: node) — any
+                # non-empty fragment throws; the elif (:173-177) is dead
+                if len(node.children) >= 1 or any(
+                        c.kind == "Text" for c in child.children):
+                    raise KernelError("err:dom:hierarchy-request")
+            elif node.is_element():  # :178-181
+                el = next((c for c in parent.children if c.is_element()), None)
+                if (el is not None and el is not child) or \
+                        (_following_node(child) is not None
+                         and _following_node(child).kind == "DocumentType"):
+                    raise KernelError("err:dom:hierarchy-request")
+            elif node.kind == "DocumentType":  # :182-185
+                dt = next((c for c in parent.children
+                           if c.kind == "DocumentType"), None)
+                if (dt is not None and dt is not child) or \
+                        (_preceding_node(child) is not None
+                         and _preceding_node(child).is_element()):
+                    raise KernelError("err:dom:hierarchy-request")
+        reference_child = child.next_sibling  # :190
+        if reference_child is node:  # :193-195
+            reference_child = node.next_sibling
+        if child.parent is not None:  # :205-212
+            _remove_node(child)
+        _insert_before(node, parent, reference_child)  # :217
+        return child
 
     def child_text_content(self):  # D6, DOM/Node.cs:74-84
         out = []
@@ -97,6 +197,48 @@ def _collect_text(node, out):
             out.append(child.data)
         else:
             stack.append(iter(child.children))
+
+
+def _remove_node(node):  # remove_node, DOM/Node.cs:247-313
+    parent = node.parent
+    parent.children.remove(node)
+    node.parent = None
+
+
+def _following_node(node):  # find_following_node, DOM/Node.cs:465-481
+    if node.children:
+        return node.children[0]
+    current = node
+    while current is not None:
+        ns = current.next_sibling
+        if ns is not None:
+            return ns
+        current = current.parent
+    return None
+
+
+def _preceding_node(node):  # find_preceding_node, DOM/Node.cs:226-230
+    ps = node.previous_sibling
+    if ps is not None:
+        return ps
+    return node.parent
+
+
+def _insert_before(node, parent, child):
+    """insert_node_into_parent_before_child, DOM/Node.cs:332-390.
+    DocumentFragment insertion throws NotImplementedException (:344-347);
+    adopt removes node from its old parent first (:406-409)."""
+    if node.kind == "DocumentFragment":
+        raise KernelError("err:not-implemented:fragment-insert")
+    if node.parent is not None:  # adopt_node_into_document :403-409
+        _remove_node(node)
+    if child is None:
+        # append_ordered_set identity dedup (:393-397)
+        if not any(c is node for c in parent.children):
+            parent.children.append(node)
+    else:
+        parent.children.insert(child.index, node)
+    node.parent = parent
 
 
 def ensure_pre_insert_validity(node, parent):
