@@ -16,7 +16,11 @@ OK = "ok"
 
 def decode_input(html) -> str:
     """bytes → str the way C# File.ReadAllText does: UTF-8 with replacement
-    on invalid bytes, leading BOM stripped (Program.cs:3)."""
+    on invalid bytes, leading BOM stripped (Program.cs:3). A null cell (real
+    at corpus scale) must not kill the batch — callers map it to an
+    err:null-input row via parse_html."""
+    if html is None:
+        raise KernelError("err:null-input")
     if isinstance(html, (bytes, bytearray, memoryview)):
         s = bytes(html).decode("utf-8", "replace")
     else:
@@ -41,7 +45,12 @@ def parse_html(html, fast: bool = True, extract: bool = True,
       n_nodes / n_elements
       nodes     optional arena rows for the exploded nodes table
     """
-    units = decode_input(html)
+    try:
+        units = decode_input(html)
+    except KernelError as e:
+        return {"status": e.code, "dom_s": "", "text": "", "title": "",
+                "main_text": "", "spans": [], "errors": {}, "n_nodes": 0,
+                "n_elements": 0, "nodes": [] if want_nodes else None}
     parser = Parser(units, fast=fast)
     status = OK
     try:
@@ -112,8 +121,11 @@ def tokenize(html, fast: bool = True):
     """Entry point 2 (Program.cs:8-26, commented harness): token stream +
     error counts, for fixture tests and the optional tokens debug table."""
     from .tokenizer import Tokenizer, EOF_TOKEN
-    units = decode_input(html)
     errors: dict = {}
+    try:
+        units = decode_input(html)
+    except KernelError as e:
+        return [("error", e.code)], errors
 
     def on_error(code):
         errors[code] = errors.get(code, 0) + 1

@@ -176,3 +176,18 @@ def test_kernel_plan_is_pruned(spark, corpus, tmp_path):
     assert "ReadSchema" in plan
     assert "text" not in plan.split("ReadSchema")[1][:300]
     assert "PushedFilters" in plan
+
+
+def test_null_html_rows_become_error_rows(spark):
+    """A null html cell (real at corpus scale) must yield a deterministic
+    err:null-input row, not kill the Arrow batch/task."""
+    from htmlparser_spark.pipeline.job import parse_pages
+    from htmlparser_spark.pipeline.schema import PAGES_SCHEMA
+    rows = [("u://null", None, None, "", ""),
+            ("u://empty", None, b"", "", ""),
+            ("u://ok", None, b"<html><body>hi", "", "")]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA).withColumn(
+        "part_key", F.lit(0))
+    out = {r.url: r.status for r in parse_pages(df).collect()}
+    assert out == {"u://null": "err:null-input", "u://empty": "ok",
+                   "u://ok": "ok"}
