@@ -122,13 +122,21 @@ def dedup_exact(spark, sf_dir):
                  F.count("*").alias("n_copies")))
 
 
-def _shingles(df, n=3):
-    """Distinct word n-gram shingles per doc (content-keyed, no n² joins)."""
+def _shingle_array(df, n=3):
+    """Distinct word n-gram shingles per doc as ONE array column — a pure
+    map-side expression, no explode/shuffle."""
     words = F.split("text", " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
-    return (df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
-            .filter(F.length("shingle") > 0))
+    return df.select(
+        "doc_id",
+        F.filter(F.array_distinct(sh), lambda s: F.length(s) > 0).alias("shs"))
+
+
+def _shingles(df, n=3):
+    """Exploded (doc_id, shingle) rows for content-keyed equi-joins."""
+    return _shingle_array(df, n).select(
+        "doc_id", F.explode("shs").alias("shingle"))
 
 
 def _shingle_sets(spark, sf_dir):
@@ -170,7 +178,17 @@ N_BANDS = 4  # 4 rows per band
 def dedup_minhash_lsh(spark, sf_dir, threshold=0.5):
     """MinHash + LSH banding: shingle → 16 minhashes → 4 band signatures →
     bucket equi-join for candidates → exact Jaccard verify. The oracle SQL
-    mirrors the identical (portable) hash, so results match exactly."""
+    mirrors the identical (portable) hash, so results match exactly.
+
+    Plan choice, measured: the explode(shingle×k) + groupBy(doc,k).min
+    variant looks shuffle-heavy but is NOT — HashAggregate's map-side
+    partial combine means the shuffle carries only |docs|·16 partial
+    minima, independent of shingle count, and the per-shingle hashing runs
+    in whole-stage codegen. The "map-only" alternative (array_min over
+    transform / one F.aggregate pass per row) avoids even that but runs the
+    16 md5s per shingle in interpreted higher-order-function lambdas —
+    measured 2-10x slower. Exploded + partial agg is the right plan at
+    100 TB too."""
     sh = _shingle_sets(spark, sf_dir).cache()
     ks = F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("k")
     mh = (sh.select("doc_id", "shingle", ks)
