@@ -13,6 +13,10 @@ from .tokenizer import KernelError, to_code_units, to_wellformed
 
 OK = "ok"
 
+# error codes produced by the determinizing step/emit budgets — see
+# tokenizer.py (_unit_budget/_step_budget) and parser.py (reprocess guard)
+_BUDGET_CODES = frozenset({"err:tokenizer-loop", "err:reprocess-limit"})
+
 
 def decode_input(html) -> str:
     """bytes → str the way C# File.ReadAllText does: UTF-8 with replacement
@@ -57,6 +61,15 @@ def parse_html(html, fast: bool = True, extract: bool = True,
         parser.run()
     except KernelError as e:
         status = e.code
+        if fast and status in _BUDGET_CODES:
+            # Budget-determinized outcomes (the C# would loop forever; we
+            # trip a step budget) are step-count-sensitive, and the fast
+            # paths compress many machine steps into one — so the counter
+            # snapshot at trip time differs between modes. Re-run the rare
+            # pathological document per-char so fast mode is bit-identical
+            # to the oracle everywhere, including these rows.
+            return parse_html(html, fast=False, extract=extract,
+                              want_dom=want_dom, want_nodes=want_nodes)
     except RecursionError:
         status = "err:recursion-limit"
 
@@ -146,6 +159,8 @@ def tokenize(html, fast: bool = True):
             if tok.t == 1 and tok.tag.name == "script":
                 tk.switch_to_script_data_state()
     except KernelError as e:
+        if fast and e.code in _BUDGET_CODES:
+            return tokenize(html, fast=False)  # see parse_html
         tokens.append(("error", e.code))
     return tokens, errors
 

@@ -99,3 +99,28 @@ def test_differential_reference_sample():
 ])
 def test_differential_eof_edges(html):
     assert_equal_modes(html)
+
+
+def test_differential_budget_trip_regression():
+    """`<hr "` hits the C# EOF-reconsume infinite loop; our step budget
+    determinizes it, and fast mode must fall back to per-char so the error
+    counters are bit-identical (found by mutation fuzz)."""
+    assert_equal_modes('<hr "')
+    r = parse_html('<hr "', fast=True)
+    assert r["status"] == "err:tokenizer-loop"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_differential_byte_mutations(seed):
+    """Byte-level mutations of grammar docs (invalid UTF-8, truncated tags,
+    stray control bytes) must stay mode-identical."""
+    rng = random.Random(9000 + seed)
+    for _ in range(30):
+        doc = gen_doc(rng)
+        b = bytearray(doc.encode("utf-8", "surrogatepass"))
+        for _ in range(rng.randint(1, 4)):
+            if b:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        a = parse_html(bytes(b), fast=True, want_dom=True)
+        s = parse_html(bytes(b), fast=False, want_dom=True)
+        assert a == s
