@@ -127,6 +127,34 @@ def media_features(spark, sf_dir):
                                          lambda a, v: a + v), 6).alias("feat_sum"))
 
 
+def nodes_stats_consistency(spark, sf_dir):
+    """X1 invariant check, SQL-checkable: the kernel's bottom-up subtree
+    text_len must equal parent-chain aggregation over the exploded nodes
+    table (computed here with a Spark self-join; the DuckDB oracle just
+    pins the violation count at 0 rows of violations => n_violations=0)."""
+    import pandas as pd
+
+    nodes = (synth_pages(spark, 60, seed=42, partitions=2)
+             .mapInPandas(nodes_batch, schema=NODES_SCHEMA))
+
+    def check(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent = pdf.set_index("node_id")["parent_id"].to_dict()
+        direct = pdf.set_index("node_id")["text_len"].to_dict()
+        expect = pdf.set_index("node_id")["subtree_text_len"].to_dict()
+        totals = {nid: 0 for nid in parent}
+        for nid, d in direct.items():  # propagate up every parent chain
+            cur = nid
+            while cur is not None and cur >= 0:
+                totals[cur] += int(d)
+                cur = parent.get(cur)
+        bad = sum(1 for nid in parent if totals[nid] != expect[nid])
+        return pd.DataFrame({"n_violations": [bad]})
+
+    per_page = (nodes.groupBy("url", "warc_ts")
+                .applyInPandas(check, schema="n_violations long"))
+    return per_page.agg(F.sum("n_violations").alias("n_violations"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # kernel (parse/extract) — flagship is oracle-checkable
@@ -137,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_spans_explode": parse_spans_explode,
         "parse_nodes_stats": parse_nodes_stats,
         "parse_tokens_explode": parse_tokens_explode,
+        "nodes_stats_consistency": nodes_stats_consistency,
         # pipeline-shape relational ops (S2/S6/S7/S8)
         "filter_project": ops.filter_project,
         "window_dedup_latest": ops.window_dedup_latest,
@@ -380,6 +409,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
             FROM documents
+        """,
+        "nodes_stats_consistency": """
+            SELECT 0::bigint AS n_violations
         """,
         "dedup_embedding_cosine": """
             WITH e AS (SELECT vec_id,

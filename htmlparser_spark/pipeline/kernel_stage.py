@@ -68,13 +68,18 @@ def nodes_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """S7-style exploded arena DOM: one row per DOM node (FIXTURES.md §4)."""
     for pdf in batches:
         rows = []
-        for url, html in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+        ts_list = (pdf["warc_ts"].tolist() if "warc_ts" in pdf.columns
+                   else [None] * len(pdf))
+        for url, ts, html in zip(pdf["url"].tolist(), ts_list,
+                                 pdf["html"].tolist()):
             r = parse_html(html, fast=True, extract=False, want_dom=False,
                            want_nodes=True)
             if r["nodes"] is None:
                 continue
             for (nid, parent, kind, tag, depth, direct_len, text_len,
                  link_len, n_desc, anchor) in r["nodes"]:
-                rows.append((url, nid, parent, kind, tag, depth, direct_len,
-                             text_len, link_len, n_desc, anchor))
+                # (url, warc_ts) is the page key — a url can have several
+                # snapshots in the corpus
+                rows.append((url, ts, nid, parent, kind, tag, depth,
+                             direct_len, text_len, link_len, n_desc, anchor))
         yield pd.DataFrame(rows, columns=_NODE_COLS)

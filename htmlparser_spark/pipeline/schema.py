@@ -40,6 +40,7 @@ PARSED_SCHEMA = StructType([
 # Exploded arena DOM (FIXTURES.md §4) for SQL-checkable X1/X2 stats
 NODES_SCHEMA = StructType([
     StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
     StructField("node_id", IntegerType()),
     StructField("parent_id", IntegerType()),
     StructField("kind", StringType()),
