@@ -225,18 +225,25 @@ def dedup_minhash_lsh(spark, sf_dir, threshold=0.5):
 
 
 def dedup_simhash(spark, sf_dir):
-    """32-bit SimHash per document (bit-majority over shingle hashes)."""
+    """32-bit SimHash per document (bit-majority over shingle hashes).
+
+    One groupBy with 32 codegen'd sum columns — NOT an explode to
+    |shingles|·32 bit rows: vote(bit) = 2·Σ bit_set − n, so per-bit set
+    counts (plus the shingle count) reconstruct every vote, and map-side
+    partial aggregation keeps the shuffle at |docs| rows."""
     sh = _shingle_sets(spark, sf_dir)
     h = sh.withColumn("h", _portable_hash32(F.col("shingle"), F.lit(0)))
-    bits = h.select("doc_id", "h", F.explode(
-        F.sequence(F.lit(0), F.lit(31))).alias("bit"))
-    votes = (bits.withColumn(
-        "v", F.expr("(shiftright(h, bit) & 1) * 2 - 1"))
-        .groupBy("doc_id", "bit").agg(F.sum("v").alias("vote")))
-    return (votes.withColumn(
-        "contrib", F.expr(
-            "CASE WHEN vote > 0 THEN shiftleft(1L, bit) ELSE 0L END"))
-        .groupBy("doc_id").agg(F.sum("contrib").alias("simhash")))
+    ones = [F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1)))
+            .alias(f"b{b}") for b in range(32)]
+    votes = h.groupBy("doc_id").agg(F.count("*").alias("n"), *ones)
+    # bit set in the simhash iff vote > 0 iff 2*ones - n > 0
+    contrib = [F.when(F.col(f"b{b}") * 2 - F.col("n") > 0,
+                      F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+               for b in range(32)]
+    total = contrib[0]
+    for c in contrib[1:]:
+        total = total + c
+    return votes.select("doc_id", total.alias("simhash"))
 
 
 # --- similarity search over embeddings --------------------------------------------
