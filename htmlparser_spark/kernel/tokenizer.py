@@ -232,18 +232,21 @@ _RX_BOGUS_COMMENT = re.compile(r"[^>\x00]+")  # :773-788
 
 # Whole-tag fast paths (Data state only). A match is exactly the shape the
 # per-char machine walks with NO parse error, NO charref, NO case folding and
-# NO self-closing flag: lowercase name, ws-separated lowercase attrs with
-# double-quoted &-free NUL-free values, optional trailing ws. Anything else
-# (uppercase, ', unquoted, `/>`, `&` in a value, …) falls through to the
+# NO self-closing flag: lowercase name, ws-separated lowercase attrs that are
+# valueless, double-quoted or single-quoted (&-free, NUL-free values),
+# optional trailing ws. Anything else (uppercase, unquoted values, `/>`,
+# `&` in a value, `=` detached from the name, …) falls through to the
 # machine, so quirks Q1/Q5/Q6/Q17 and all error counters are untouched.
 # Attr-state whitespace is tab/LF/FF/space only (CR is NOT whitespace there).
 _WS_ATTR = r"\t\n\x0c "
+_ATTR_SHAPE = r"[a-z][a-z0-9-]*(?:=\"[^\"&\x00]*\"|='[^'&\x00]*')?"
 _RX_FAST_START = re.compile(
     r"<([a-z][a-z0-9]*)"
-    r"((?:[" + _WS_ATTR + r"]+[a-z][a-z0-9-]*=\"[^\"&\x00]*\")*)"
+    r"((?:[" + _WS_ATTR + r"]+" + _ATTR_SHAPE + r")*)"
     r"[" + _WS_ATTR + r"]*>")
 _RX_FAST_END = re.compile(r"</([a-z][a-z0-9]*)[" + _WS_ATTR + r"]*>")
-_RX_FAST_ATTR = re.compile(r"([a-z][a-z0-9-]*)=\"([^\"&\x00]*)\"")
+_RX_FAST_ATTR = re.compile(
+    r"([a-z][a-z0-9-]*)(?:=\"([^\"&\x00]*)\"|='([^'&\x00]*)')?")
 
 _ATTR_VALUE_RETURN_STATES = (S_ATTR_VALUE_DQ, S_ATTR_VALUE_SQ, S_ATTR_VALUE_UNQ)
 
@@ -459,9 +462,12 @@ class Tokenizer:
                             tag = Tag(m.group(1))
                             attrs = m.group(2)
                             if attrs:
+                                # (name, dq-value, sq-value); valueless and
+                                # empty-quoted both yield value "" exactly
+                                # like the machine's finished_attributes
                                 tag.attributes = [
-                                    [a, [v] if v else []]
-                                    for a, v in _RX_FAST_ATTR.findall(attrs)]
+                                    [a, [dq or sq] if (dq or sq) else []]
+                                    for a, dq, sq in _RX_FAST_ATTR.findall(attrs)]
                             self._cursor = m.end()
                             self._emit_token(Token(START_TAG, tag=tag))
                             continue

@@ -44,6 +44,9 @@ def build_session(app="htmlparser-spark", cpus=None, shuffle_partitions=None,
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+         # rows are also BYTE-capped per batch, so a run of multi-MB pages
+         # can't assemble a 512-row x 5 MB = 2.5 GB Arrow batch in a worker
+         .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 << 20))
          .config("spark.python.worker.reuse", "true")
          .config("spark.driver.memory",
                  os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
