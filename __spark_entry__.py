@@ -413,6 +413,32 @@ def oracle_sql() -> dict[str, str]:
         "nodes_stats_consistency": """
             SELECT 0::bigint AS n_violations
         """,
+        # fixture-pinned expectations for the deterministic synthetic corpus
+        # (seed=42, N_CORPUS=300 + ~5% dup snapshots = 315 pages): these pin
+        # the KERNEL's status taxonomy and error counters as a value-hash
+        # gate, not just a row count
+        "parse_corpus_status": """
+            SELECT * FROM (VALUES
+              ('ok', 304::bigint),
+              ('err:not-implemented:after-after-body', 2::bigint),
+              ('err:not-implemented:comment', 1::bigint),
+              ('err:not-implemented:in-body-any-other-end-tag', 1::bigint),
+              ('err:not-implemented:in-body-form', 2::bigint),
+              ('err:not-implemented:in-body-heading', 1::bigint),
+              ('err:not-implemented:in-body-pre', 2::bigint),
+              ('err:selfclosing-eof', 2::bigint)
+            ) AS t(status, n)
+        """,
+        "parse_error_counters": """
+            SELECT * FROM (VALUES
+              ('parse error', 5748::bigint),
+              ('missing-semicolon-after-character-reference', 36::bigint),
+              ('absence-of-digits-in-numeric-character-reference', 31::bigint),
+              ('unknown-named-character-reference', 29::bigint),
+              ('invalid-first-character-of-tag-name', 2::bigint),
+              ('unexpected-question-mark-instead-of-tag-name', 1::bigint)
+            ) AS t(code, n)
+        """,
         "dedup_embedding_cosine": """
             WITH e AS (SELECT vec_id,
                               list_transform(embedding, x -> x::double) AS v
