@@ -14,7 +14,15 @@ from .tokenizer import KernelError, to_code_units, to_wellformed
 OK = "ok"
 
 # error codes produced by the determinizing step/emit budgets — see
-# tokenizer.py (_unit_budget/_step_budget) and parser.py (reprocess guard)
+# tokenizer.py (_unit_budget/_step_budget) and parser.py (reprocess guard).
+#
+# Invariant behind the one-directional fast→slow fallback below: on any
+# document the per-char machine COMPLETES, it spends < 64 steps per input
+# unit + 4096 (every state consumes or reconsumes; a reconsume chain between
+# two consumes is bounded by the state-graph diameter, far below 64), so
+# slow mode cannot budget-trip on a document fast mode finishes. The 40k-case
+# fast/slow differential (tests/test_differential.py) pins this empirically:
+# a slow-mode-only budget trip would show up as a status mismatch.
 _BUDGET_CODES = frozenset({"err:tokenizer-loop", "err:reprocess-limit"})
 
 

@@ -221,8 +221,7 @@ _RX_RAWTEXT = re.compile(r"[^<\x00]+")      # :55-67
 _RX_SCRIPT = re.compile(r"[^<\x00]+")       # :68-80
 _RX_PLAINTEXT = re.compile(r"[^\x00]+")     # :81-91
 _RX_SD_ESCAPED = re.compile(r"[^-<\x00]+")  # :375-391 (also double-escaped :519-536)
-_RX_TAG_NAME = re.compile(r"[^\t\n\x0c /> \x00A-Z]+".replace(" ", ""))  # :134-158
-_RX_TAG_NAME = re.compile(r"[^\t\n\x0c/>\x00A-Z ]+")
+_RX_TAG_NAME = re.compile(r"[^\t\n\x0c/>\x00A-Z ]+")  # :134-158
 _RX_ATTR_NAME = re.compile(r"[^\t\n\x0c />=\x00\"'<A-Z]+")  # :625-646
 _RX_ATTR_VALUE_DQ = re.compile(r"[^\"&\x00]+")  # :683-701
 _RX_ATTR_VALUE_SQ = re.compile(r"[^'&\x00]+")   # :702-720

@@ -12,6 +12,7 @@ on task ids, so resume and re-runs are stable.
 from __future__ import annotations
 
 import os
+import re
 from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -68,7 +69,7 @@ def read_pages(spark: SparkSession, path: str, lang: str | None = None
     identical). Column pruning + predicate pushdown happen in Catalyst:
     only the four kernel columns are read, and the lang filter reaches the
     scan (verified via .explain: ReadSchema/DataFilters)."""
-    if _is_table_identifier(path):
+    if _is_table_identifier(path, spark):
         df = spark.table(path)
     else:
         df = spark.read.schema(PAGES_SCHEMA).parquet(path)
@@ -78,25 +79,50 @@ def read_pages(spark: SparkSession, path: str, lang: str | None = None
     return df
 
 
-def _is_table_identifier(path: str) -> bool:
-    """catalog.db.table vs filesystem path."""
-    return ("/" not in path and "\\" not in path and "." in path
-            and not path.endswith(".parquet"))
+_TABLE_IDENT_RE = re.compile(r"^\w+(\.\w+)+$")
 
 
-def write_parsed_table(parsed: DataFrame, table: str) -> None:
+def _is_table_identifier(path: str, spark: SparkSession | None = None) -> bool:
+    """catalog.db.table vs filesystem path. Shape alone is ambiguous — a
+    relative path like ``sf0.001`` or ``pages.v2`` matches dotted-name shape
+    — so a shape match is confirmed against the catalog; unknown names fall
+    back to the filesystem branch instead of an AnalysisException."""
+    if "/" in path or "\\" in path or path.endswith(".parquet"):
+        return False
+    if not _TABLE_IDENT_RE.match(path):
+        return False
+    if spark is None:
+        return True
+    try:
+        return spark.catalog.tableExists(path)
+    except Exception:
+        return False
+
+
+def write_parsed_table(parsed: DataFrame, table: str,
+                       create: bool = False) -> None:
     """Iceberg sink for prod: bucket-partitioned on url so downstream
-    per-url lookups prune, snapshot-isolated appends give idempotent
-    partition overwrite on resume. Parquet fallback is in run_pipeline."""
-    (parsed.writeTo(table)
-     .partitionedBy(F.bucket(1024, F.col("url")))
-     .createOrReplace())
+    per-url lookups prune. ``create=True`` (re)creates the table wholesale;
+    the default is ``overwritePartitions()`` — dynamic partition overwrite,
+    so a resumed run that re-parses some part_keys replaces exactly those
+    partitions and leaves completed ones intact (idempotent resume).
+    Parquet fallback is in run_pipeline."""
+    writer = (parsed.writeTo(table)
+              .partitionedBy(F.bucket(1024, F.col("url"))))
+    if create:
+        writer.createOrReplace()
+    else:
+        writer.overwritePartitions()
 
 
 # --- S6: per-url dedup (latest snapshot wins) --------------------------------
 
 def dedup_latest(df: DataFrame) -> DataFrame:
-    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    """Latest snapshot per url. Tiebreak on equal warc_ts (real crawls DO
+    re-fetch within timestamp resolution) is a deterministic function of the
+    content — never row order — so re-runs and resume pick the same keeper."""
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.xxhash64("html").desc())
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
 

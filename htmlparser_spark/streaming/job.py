@@ -133,7 +133,9 @@ def _host_rollup(key: Tuple[str], batches: Iterator[pd.DataFrame],
 def host_rollup_stream(parsed: DataFrame) -> DataFrame:
     """Stateful per-host rollup (applyInPandasWithState). Emits the updated
     running totals for every host seen in each micro-batch."""
-    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1)
+    # no trailing '/' required: 'https://host.example' (no path) must still
+    # yield its host, not collapse into the '' state group
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
     return (parsed
             .withColumn("host", host)
             .groupBy("host")
@@ -153,6 +155,11 @@ def run_stream_once(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
     parsed = parse_page_stream(pages)
     q = write_parsed_stream(parsed, out_dir)
     q.awaitTermination()
-    out = spark.read.schema(PARSED_SCHEMA).parquet(os.path.join(out_dir, "parsed"))
+    parsed_dir = os.path.join(out_dir, "parsed")
+    if not os.path.exists(parsed_dir):
+        # empty source on the first run: the file sink never creates the
+        # output path, which is "0 rows", not an error
+        return {"rows_total": 0}
+    out = spark.read.schema(PARSED_SCHEMA).parquet(parsed_dir)
     n = out.count()
     return {"rows_total": n}

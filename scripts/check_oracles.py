@@ -38,10 +38,54 @@ def norm_cell(v):
     return str(v)
 
 
-def value_hash(cols, rows):
+def spark_type_class(dt) -> str:
+    """Collapse a Spark DataType to a coarse class comparable with DuckDB's."""
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "i64"
+    if s in ("float", "double"):
+        return "f"
+    if s.startswith("decimal"):
+        return "dec"
+    if s in ("timestamp", "timestamp_ntz"):
+        return "ts"
+    return s.split("(")[0].split("<")[0]
+
+
+def duck_type_class(t) -> str:
+    """Collapse a DuckDB type to the same coarse class. HUGEINT deliberately
+    maps to its own class: DuckDB sum(BIGINT) -> HUGEINT is the root cause of
+    every round-1 driver hash mismatch, and the driver's compare is
+    type-sensitive where fetchall() (plain Python ints) is not."""
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "i64"
+    if s in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+        return "i128"
+    if s in ("FLOAT", "REAL", "DOUBLE"):
+        return "f"
+    if s.startswith("DECIMAL"):
+        return "dec"
+    if s == "VARCHAR":
+        return "string"
+    if s.startswith("TIMESTAMP"):
+        return "ts"
+    if s == "BOOLEAN":
+        return "boolean"
+    if s == "BLOB":
+        return "binary"
+    return s.split("(")[0].split("<")[0].lower()
+
+
+def value_hash(cols, rows, type_classes=None):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
     h = hashlib.sha256()
+    if type_classes is not None:
+        header = "|".join(f"{cols[i]}:{type_classes[i]}" for i in order)
+        h.update(header.encode())
+        h.update(b"\n")
     for line in lines:
         h.update(line.encode())
         h.update(b"\n")
@@ -83,11 +127,13 @@ def main():
             continue
         rel = con.sql(oracles[name])
         dcols = [c for c in rel.columns]
+        dtypes = [duck_type_class(t) for t in rel.types]
         drows = rel.fetchall()
+        stypes = [spark_type_class(f.dataType) for f in sdf.schema.fields]
         ok_count = len(srows) == len(drows)
         ok_cols = sorted(scols) == sorted(dcols)
-        sh = value_hash(scols, srows)
-        dh = value_hash(dcols, drows)
+        sh = value_hash(scols, srows, stypes)
+        dh = value_hash(dcols, drows, dtypes)
         ok_hash = sh == dh
         status = "OK " if (ok_count and ok_cols and ok_hash) else "FAIL"
         print(f"  {name:24s} {status} rows {len(srows)}/{len(drows)} "
@@ -98,6 +144,10 @@ def main():
             if not ok_cols:
                 print("    spark:", sorted(scols), "duck:", sorted(dcols))
             if ok_cols and not ok_hash:
+                spairs = sorted(zip(scols, stypes))
+                dpairs = sorted(zip(dcols, dtypes))
+                if spairs != dpairs:
+                    print("    type mismatch — spark:", spairs, "duck:", dpairs)
                 order = sorted(range(len(scols)), key=lambda i: scols[i])
                 sset = {"|".join(norm_cell(r[i]) for i in order) for r in srows}
                 dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])

@@ -101,6 +101,38 @@ def test_dedup_latest_wins(spark, corpus):
         assert kept == latest
 
 
+def test_dedup_latest_tiebreak_deterministic(spark):
+    """Equal warc_ts snapshots (real crawls re-fetch within ts resolution):
+    the keeper must be a deterministic function of content, not row order."""
+    import datetime
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [("u://tie", ts, b"<p>version A</p>", "en", ""),
+            ("u://tie", ts, b"<p>version B</p>", "en", "")]
+    from htmlparser_spark.pipeline.schema import PAGES_SCHEMA
+    kept = set()
+    for parts in (1, 2, 3):  # vary physical row order via partitioning
+        df = spark.createDataFrame(rows, PAGES_SCHEMA).repartition(parts)
+        kept.add(bytes(dedup_latest(df).collect()[0].html))
+    assert len(kept) == 1
+    expect = (spark.createDataFrame(rows, PAGES_SCHEMA)
+              .withColumn("h", F.xxhash64("html"))
+              .orderBy(F.col("h").desc()).limit(1).collect()[0])
+    assert kept == {bytes(expect.html)}
+
+
+def test_iceberg_identifier_routing(spark):
+    """Dotted names that are NOT catalog tables must route to the
+    filesystem branch (ADVICE: 'sf0.001' used to raise AnalysisException)."""
+    from htmlparser_spark.pipeline.job import _is_table_identifier
+    assert not _is_table_identifier("/data/sf0.001", spark)
+    assert not _is_table_identifier("pages.parquet", spark)
+    assert not _is_table_identifier("sf0.001", spark)   # not in catalog
+    assert not _is_table_identifier("pages.v2", spark)  # not in catalog
+    assert not _is_table_identifier("plainname", spark)
+    # shape-only check (no catalog available, e.g. doc examples)
+    assert _is_table_identifier("catalog.db.pages", None)
+
+
 def test_resume_after_kill(spark, corpus, tmp_path):
     out_full = str(tmp_path / "full")
     out_resume = str(tmp_path / "resume")
