@@ -83,7 +83,7 @@ def parse_html(html, fast: bool = True, extract: bool = True,
 
     doc = parser.document
     dom_s = to_wellformed(serialize(doc)) if want_dom else ""
-    text = to_wellformed(doc.child_text_content())
+    text = None
     title = ""
     main_text = ""
     spans = []
@@ -93,6 +93,13 @@ def parse_html(html, fast: bool = True, extract: bool = True,
     try:
         if extract or want_nodes:
             main_raw, spans, arena, nodes = extract_main_content(doc)
+            # document text from the arena: preorder Text data in document
+            # order is exactly child_text_content of the document (D6) —
+            # avoids a second full tree walk
+            a_kind = arena.kind
+            a_data = arena.text_data
+            text = to_wellformed("".join(
+                [a_data[i] for i in range(arena.n) if a_kind[i] == "Text"]))
             main_text = to_wellformed(main_raw)
             n_nodes = arena.n
             for nid in range(arena.n):
@@ -113,6 +120,8 @@ def parse_html(html, fast: bool = True, extract: bool = True,
     except RecursionError:
         if status == OK:
             status = "err:recursion-limit"
+    if text is None:
+        text = to_wellformed(doc.child_text_content())
 
     return {
         "status": status,

@@ -97,18 +97,27 @@ def flatten(document) -> tuple[Arena, list]:
     # bottom-up accumulation (children have larger ids than parents is NOT
     # guaranteed by this stack order — it is: preorder with parent before
     # child, so iterate ids descending and add into parent)
-    for nid in range(a.n - 1, 0, -1):
-        p = a.parent[nid]
-        own_text = a.direct_text_len[nid]
-        a.text_len[nid] += own_text
-        a.text_len[p] += a.text_len[nid]
-        if a.is_anchor_desc[nid]:
-            a.link_text_len[nid] += own_text
-        a.link_text_len[p] += a.link_text_len[nid]
-        is_el = a.kind[nid].startswith("HTML")
-        a.n_desc_tags[p] += a.n_desc_tags[nid] + (1 if is_el else 0)
-    if a.n:
-        a.text_len[0] += a.direct_text_len[0]
+    parent = a.parent
+    dlen = a.direct_text_len
+    tlen = a.text_len
+    llen = a.link_text_len
+    ndesc = a.n_desc_tags
+    anchor = a.is_anchor_desc
+    kinds = a.kind
+    for nid in range(n - 1, 0, -1):
+        p = parent[nid]
+        own_text = dlen[nid]
+        t = tlen[nid] + own_text
+        tlen[nid] = t
+        tlen[p] += t
+        lt = llen[nid] + (own_text if anchor[nid] else 0)
+        llen[nid] = lt
+        llen[p] += lt
+        # kinds are Document/Text/DocumentType/HTML* — only elements start
+        # with "H"
+        ndesc[p] += ndesc[nid] + (1 if kinds[nid][0] == "H" else 0)
+    if n:
+        tlen[0] += dlen[0]
     return a, nodes
 
 
@@ -140,37 +149,42 @@ def extract_main_content(document):
     if body_id is None:
         return "", [], arena, nodes
 
-    def in_body(nid):
-        while nid != -1:
-            if nid == body_id:
-                return True
-            nid = arena.parent[nid]
-        return False
+    # preorder flatten gives every subtree a contiguous id range, so
+    # "inside the first body subtree" is the range [body_id, body_end) —
+    # an O(1) test instead of an O(depth) parent-chain walk per node (the
+    # quirk-preserving tree never pops block elements, so depth grows with
+    # element count and chain walks are quadratic on clean pages)
+    depth = arena.depth
+    d_body = depth[body_id]
+    body_end = body_id + 1
+    a_n = arena.n
+    while body_end < a_n and depth[body_end] > d_body:
+        body_end += 1
 
-    qualifying = [False] * arena.n
-    for nid in range(arena.n):
-        if not arena.kind[nid].startswith("HTML"):
+    kind = arena.kind
+    text_len = arena.text_len
+    link_len = arena.link_text_len
+    n_desc = arena.n_desc_tags
+    qualifying = [False] * a_n
+    for nid in range(body_id, body_end):
+        if not kind[nid].startswith("HTML"):
             continue
-        if not in_body(nid):
-            continue
-        tl = arena.text_len[nid]
-        density = tl / (1 + arena.n_desc_tags[nid])
-        link_density = arena.link_text_len[nid] / max(tl, 1)
+        tl = text_len[nid]
+        density = tl / (1 + n_desc[nid])
+        link_density = link_len[nid] / max(tl, 1)
         if density >= TAU1 and link_density <= TAU2 and _node_prior(nodes[nid]) >= 0:
             qualifying[nid] = True
-    # maximal: drop nodes with a qualifying proper ancestor
+    # maximal: drop nodes with a qualifying proper ancestor. Parents precede
+    # children in preorder, so one ascending pass propagates
+    # "has-qualifying-ancestor" in O(n) instead of O(n·depth).
+    parent = arena.parent
+    anc_qual = [False] * a_n
     selected = []
-    for nid in range(arena.n):
-        if not qualifying[nid]:
-            continue
-        p = arena.parent[nid]
-        shadowed = False
-        while p != -1:
-            if qualifying[p]:
-                shadowed = True
-                break
-            p = arena.parent[p]
-        if not shadowed:
+    for nid in range(body_id, body_end):
+        p = parent[nid]
+        if p >= 0 and (qualifying[p] or anc_qual[p]):
+            anc_qual[nid] = True
+        elif qualifying[nid]:
             selected.append(nid)
 
     parts = []

@@ -320,6 +320,15 @@ _HEAD_RESIDENT_SET = frozenset(_HEAD_RESIDENT_TAGS)
 _BLOCK_START_SET = frozenset(_BLOCK_START_TAGS)
 _BLOCK_END_SET = frozenset(_BLOCK_END_TAGS)
 _HEADING_SET = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+# Every start-tag name with a dedicated in-body branch; anything else goes
+# straight to the any-other-start-tag path with ONE set probe instead of
+# walking the whole branch chain (the chain order for these names is
+# unchanged below)
+_IN_BODY_SPECIAL_START = (frozenset(("html", "body", "frameset", "pre",
+                                     "listing", "form", "li", "dd", "dt",
+                                     "plaintext", "button"))
+                          | _HEAD_RESIDENT_SET | _BLOCK_START_SET
+                          | _HEADING_SET)
 
 
 class Parser:
@@ -363,24 +372,41 @@ class Parser:
         return self.current_node()
 
     def create_element_for_token(self, token):  # :246-281
-        if token.tag is None:
+        tag = token.tag
+        if tag is None:
             # token.tag!.name on a Character/other token → NullReferenceException
             raise KernelError("err:null-ref:create-element")
-        el = create_an_element(token.tag.name)
-        attrs = token.tag.finished_attributes()
-        if attrs is not None:
-            el.attributes.extend(attrs)  # duplicates preserved (Q17)
+        # create_an_element + finished_attributes inlined (hot path):
+        # typed factory lookup, then attribute list with duplicates
+        # preserved (Q17)
+        name = tag.name
+        el = Node(_TYPED_ELEMENTS.get(name, "HTMLElement"), tag_name=name)
+        attrs = tag.attributes
+        el.attributes = ([(n, "".join(v)) for n, v in attrs]
+                         if attrs is not None else [])
         return el
 
     def insert_foreign_element(self, token):  # insert_a_foreign_element, :122-135
-        target = self.current_node()  # find_appropriate_place, inlined
+        stack = self.open_elements
+        if not stack:
+            raise KernelError("err:empty-stack")  # current_node / Peek
+        target = stack[-1]  # find_appropriate_place, inlined
         el = self.create_element_for_token(token)
-        target.append_child(el)
-        self.open_elements.append(el)
+        # append_child inlined for the FRESH-node case, observationally
+        # identical: ensure_pre_insert_validity cannot throw (el.parent is
+        # None and el is not a DocumentType; target is an element or
+        # Document) and the ordered-set identity dedup cannot hit a node
+        # that was just constructed
+        target.children.append(el)
+        el.parent = target
+        stack.append(el)
         return el
 
     def insert_a_character(self, data):  # :517-533
-        target = self.current_node()  # find_appropriate_place, inlined
+        stack = self.open_elements
+        if not stack:
+            raise KernelError("err:empty-stack")  # current_node / Peek
+        target = stack[-1]  # find_appropriate_place, inlined
         if target.kind == "Document":
             return
         children = target.children
@@ -389,7 +415,10 @@ class Parser:
             if last.kind == "Text":
                 last._chunks.append(data)
                 return
-        target.append_child(new_text(data))
+        # fresh Text node: validity cannot throw, dedup cannot hit (as above)
+        t = new_text(data)
+        children.append(t)
+        t.parent = target
 
     def has_element_in_scope(self, tag_name):  # :857-859 — stub: False (Q9)
         return False
@@ -497,6 +526,12 @@ class Parser:
 
     def _chars_in_body(self, data):  # :598-622 — NUL: error+ignore; space:
         # insert; other: insert + frameset_ok=False
+        if NUL not in data:  # hot path: C-speed scan, no slicing loop
+            self.reconstruct_active_formatting_elements()
+            self.insert_a_character(data)
+            if data.strip(SPACE5):
+                self.frameset_ok = False
+            return
         i = 0
         n = len(data)
         while i < n:
@@ -696,6 +731,12 @@ class Parser:
             return
         name = token.tag.name
         if t == START_TAG:
+            if name not in _IN_BODY_SPECIAL_START:
+                # any other start tag (:845-852), hoisted: one membership
+                # probe replaces the full branch chain for the common case
+                self.reconstruct_active_formatting_elements()
+                self.insert_foreign_element(token)
+                return
             if name == "html":
                 self.on_error()
                 return
@@ -836,6 +877,9 @@ class Parser:
 
     def run(self):
         reprocess_guard = 0
+        tokenizer = self.tokenizer
+        emitting = tokenizer._emitting  # inlined next_token FIFO drain
+        popleft = emitting.popleft
         while True:
             if self._reprocess:
                 self._reprocess = False
@@ -843,7 +887,9 @@ class Parser:
                 if reprocess_guard > 32:
                     raise KernelError("err:reprocess-limit")
             else:
-                self._token = self.tokenizer.next_token()
+                if not emitting:
+                    tokenizer._run_machine()
+                self._token = popleft()
                 reprocess_guard = 0
             token = self._token
             if token is None:

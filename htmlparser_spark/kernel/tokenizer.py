@@ -15,6 +15,7 @@ tests (tests/test_differential.py) enforce fast == slow.
 from __future__ import annotations
 
 import re
+from collections import deque
 
 from ._entities_data import NAMED_REFERENCES, NAME_MAX_LENGTH
 
@@ -246,6 +247,48 @@ _RX_FAST_START = re.compile(
 _RX_FAST_END = re.compile(r"</([a-z][a-z0-9]*)[" + _WS_ATTR + r"]*>")
 _RX_FAST_ATTR = re.compile(
     r"([a-z][a-z0-9-]*)(?:=\"([^\"&\x00]*)\"|='([^'&\x00]*)')?")
+# One alternation of text-run | end tag | start tag for the batched Data
+# scan: a single C-level match per token instead of up to three attempts.
+# Disambiguate via lastindex: 1=text, 2=end, 4=start (the attrs group
+# participates, possibly empty, whenever the start branch matches).
+_RX_FAST_ANY = re.compile(
+    r"([^&<\x00]+)"
+    r"|</([a-z][a-z0-9]*)[" + _WS_ATTR + r"]*>"
+    r"|<([a-z][a-z0-9]*)"
+    r"((?:[" + _WS_ATTR + r"]+" + _ATTR_SHAPE + r")*)"
+    r"[" + _WS_ATTR + r"]*>")
+
+# Start tags after which the PARSER switches the tokenizer out of the Data
+# state (RCDATA/RAWTEXT/ScriptData via parse_rcdata_or_rawtext /
+# prepare-script, HTMLParser.cs:333-353/432-462). The batched Data-state
+# scan must stop BEFORE emitting one of these: tokens after it belong to a
+# different tokenizer state that only exists once the parser consumes the
+# tag. Every other start tag leaves the tokenizer in Data.
+_STATE_SWITCH_TAGS = frozenset(
+    {"title", "noscript", "noframes", "style", "script"})
+_FAST_BATCH_MAX = 256  # bound wasted lookahead if the parser throws mid-batch
+
+# Memo of fast-path attribute-string parses. Real pages repeat the same
+# attribute strings constantly (class="nav", rel="stylesheet", …), so the
+# regex walk runs once per distinct string. Safe to SHARE the parsed list
+# between Tag instances: fast-path tags are never the tokenizer's
+# _current_token, and nothing downstream mutates tag.attributes — the
+# parser and harness only read them (finished_attributes/get_attribute_value
+# build fresh objects). Bounded so adversarial pages can't grow it.
+_ATTRS_MEMO: dict = {}
+_ATTRS_MEMO_MAX = 8192
+_ATTRS_MEMO_KEY_MAX = 256
+
+
+def _parse_fast_attrs(attrs: str):
+    got = _ATTRS_MEMO.get(attrs)
+    if got is not None:
+        return got
+    parsed = [[a, [dq or sq] if (dq or sq) else []]
+              for a, dq, sq in _RX_FAST_ATTR.findall(attrs)]
+    if len(attrs) <= _ATTRS_MEMO_KEY_MAX and len(_ATTRS_MEMO) < _ATTRS_MEMO_MAX:
+        _ATTRS_MEMO[attrs] = parsed
+    return parsed
 
 _ATTR_VALUE_RETURN_STATES = (S_ATTR_VALUE_DQ, S_ATTR_VALUE_SQ, S_ATTR_VALUE_UNQ)
 
@@ -286,7 +329,7 @@ class Tokenizer:
         self._return_state = S_DATA
         self._current_token = None
         self._temp = []  # _temporary_buffer (None ~ [] distinction irrelevant: always re-newed)
-        self._emitting = []  # FIFO _emitting_tokens (HTMLTokenizer.cs:1890)
+        self._emitting = deque()  # FIFO _emitting_tokens (HTMLTokenizer.cs:1890)
         self._last_start_tag_name = None  # semantically equal to the full
         # _emitted_tokens history scan (HTMLTokenizer.cs:1558-1571,1889)
         self._charref_code = 0
@@ -432,9 +475,9 @@ class Tokenizer:
     def next_token(self):
         """HTMLTokenizer.cs:9-16 — drain FIFO, else run machine."""
         if self._emitting:
-            return self._emitting.pop(0)
+            return self._emitting.popleft()
         self._run_machine()
-        return self._emitting.pop(0)
+        return self._emitting.popleft()
 
     # --- the machine --------------------------------------------------------
     def _run_machine(self):  # the big switch, HTMLTokenizer.cs:22-1533
@@ -448,32 +491,71 @@ class Tokenizer:
             # ---------------- text states ----------------
             if st == S_DATA:  # :23-38
                 if fast:
-                    m = _RX_DATA.match(inp, self._cursor)
-                    if m:
-                        self._cursor = m.end()
-                        self._emit_chars(m.group())
+                    # Batched scan: emit MANY error-free tokens per machine
+                    # entry (text runs + whole tags — exactly the shapes the
+                    # per-char machine walks with no parse error, see
+                    # _RX_FAST_* definitions). Stops before any tag in
+                    # _STATE_SWITCH_TAGS so parser-driven tokenizer state
+                    # switches see the same stream as the per-char walk; no
+                    # batched token can record a parse error, so lookahead
+                    # beyond a parser crash is side-effect-free.
+                    cursor = self._cursor
+                    n_em = 0
+                    any_m = _RX_FAST_ANY.match
+                    emitting_append = self._emitting.append
+                    budget = self._unit_budget
+                    while n_em < _FAST_BATCH_MAX:
+                        m = any_m(inp, cursor)
+                        if m is None:
+                            break
+                        g = m.lastindex
+                        if g == 1:  # text run
+                            s = m.group(1)
+                            cursor = m.end()
+                            emitting_append(Token(CHARS, None, None, s))
+                            budget -= len(s)
+                            n_em += 1
+                            continue
+                        if g == 2:  # end tag
+                            cursor = m.end()
+                            emitting_append(Token(END_TAG, Tag(m.group(2))))
+                            budget -= 1
+                            n_em += 1
+                            continue
+                        # start tag (g == 4: attrs group participates)
+                        name = m.group(3)
+                        if name in _STATE_SWITCH_TAGS:
+                            break
+                        tag = Tag(name)
+                        attrs = m.group(4)
+                        if attrs:
+                            # (name, dq-value, sq-value); valueless and
+                            # empty-quoted both yield value "" exactly
+                            # like the machine's finished_attributes
+                            tag.attributes = _parse_fast_attrs(attrs)
+                        cursor = m.end()
+                        emitting_append(Token(START_TAG, tag))
+                        self._last_start_tag_name = name
+                        budget -= 1
+                        n_em += 1
+                    self._cursor = cursor
+                    self._unit_budget = budget
+                    if budget < 0:
+                        raise KernelError("err:tokenizer-loop")
+                    if n_em:
                         continue
-                    # whole-tag fast path: exact shapes the machine would walk
-                    # error-free (see _RX_FAST_* definitions)
-                    if self._cursor < self._n and inp[self._cursor] == "<":
-                        m = _RX_FAST_START.match(inp, self._cursor)
+                    # single-shot fast path for state-switching tags (the
+                    # batch stops before them; parser switches state after
+                    # consuming the tag, before pulling the next token)
+                    if cursor < self._n and inp[cursor] == "<":
+                        m = _RX_FAST_START.match(inp, cursor)
                         if m:
                             tag = Tag(m.group(1))
                             attrs = m.group(2)
                             if attrs:
-                                # (name, dq-value, sq-value); valueless and
-                                # empty-quoted both yield value "" exactly
-                                # like the machine's finished_attributes
-                                tag.attributes = [
-                                    [a, [dq or sq] if (dq or sq) else []]
-                                    for a, dq, sq in _RX_FAST_ATTR.findall(attrs)]
+                                tag.attributes = _parse_fast_attrs(attrs)
                             self._cursor = m.end()
                             self._emit_token(Token(START_TAG, tag=tag))
-                            continue
-                        m = _RX_FAST_END.match(inp, self._cursor)
-                        if m:
-                            self._cursor = m.end()
-                            self._emit_token(Token(END_TAG, tag=Tag(m.group(1))))
                             continue
                 self._consume()
                 c = self._cur
