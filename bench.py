@@ -236,22 +236,28 @@ vCPU-migration noise slows arbitrary windows >3x).
 
 ## Why the 8->32 pair saturates in this sandbox (and would not on a cluster)
 
-`local[N]` threads share ONE machine's memory bandwidth, shuffle disk, and
-LLC. Bare-multiprocessing calibration of the parse kernel on this box (no
+`local[N]` threads share ONE machine's memory bandwidth, shuffle disk, LLC
+— and, on this Firecracker VM, the hypervisor's physical cores: /proc/stat
+shows up to ~27% steal time under load, and stealing scales with how many
+vCPUs we occupy, so a 32-vCPU run gets hit far harder than an 8-vCPU run
+(full-width runs have measured SLOWER than local[8] in contended windows).
+Bare-multiprocessing calibration of the parse kernel on this box (no
 Spark): 8 procs reach 7.1x single-thread, 32 procs only ~16.6x, with
-per-process throughput dropping ~45% at full load — the ceiling is hardware
-memory bandwidth, not coordination. On a real cluster, going N -> 4N
-*executors* multiplies memory bandwidth, shuffle disks, and NICs by 4x as
-well, which is exactly what the (2,8) pair emulates here (2 and 8 cores both
-run far below the box's bandwidth ceiling, so only coordination overhead is
-measured — and it is small). The per-page work is embarrassingly parallel:
-no cross-page state, partitioning explicit on xxhash64(url), huge pages
-salted across tasks, so executor-count scaling has no algorithmic barrier.
+per-process throughput dropping ~45% at full load — the ceiling is shared
+hardware (bandwidth + steal), not coordination. On a real cluster, going
+N -> 4N *executors* multiplies memory bandwidth, shuffle disks, and NICs
+by 4x as well, which is exactly what the (2,8) pair emulates here (2 and 8
+cores both run far below the box's contention ceiling, so only
+coordination overhead is measured — and it is small). The per-page work is
+embarrassingly parallel: no cross-page state, partitioning explicit on
+xxhash64(url), huge pages salted across tasks, so executor-count scaling
+has no algorithmic barrier.
 
 Reference baseline: the reference repo publishes no benchmark of any kind
 (SURVEY.md §6) — it is a single-threaded C# console app that parses one
-file. Our single-thread Python kernel does ~1.6k pages/s (~9.5 MB/s); the
-Spark stage reaches ~7k pages/s (~40 MB/s) on this shared box.
+file. Our single-thread Python kernel does ~2.4k pages/s (~13.7 MB/s,
+after the round-2 batched-tokenizer/arena work; was ~1.7k); the Spark
+stage reaches ~7k pages/s (~40 MB/s) on this shared box.
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)

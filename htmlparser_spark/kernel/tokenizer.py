@@ -280,6 +280,29 @@ _ATTRS_MEMO_MAX = 8192
 _ATTRS_MEMO_KEY_MAX = 256
 
 
+# Every proper prefix of every named reference, for early exit in the
+# longest-match walk (entity names are not prefix-closed, so the walk must
+# otherwise always run to NAME_MAX_LENGTH)
+_ENTITY_PREFIXES = frozenset(
+    name[:i] for name in NAMED_REFERENCES for i in range(1, len(name) + 1))
+
+
+def _longest_named_at(inp: str, pos: int, n: int):
+    """Longest NAMED_REFERENCES match starting at pos (the same walk as
+    _consume_named_charref, on the raw input)."""
+    matched = None
+    end = min(pos + NAME_MAX_LENGTH, n)
+    i = pos
+    while i < end:
+        cand = inp[pos:i + 1]
+        if cand not in _ENTITY_PREFIXES:
+            break
+        if cand in NAMED_REFERENCES:
+            matched = cand
+        i += 1
+    return matched
+
+
 def _parse_fast_attrs(attrs: str):
     got = _ATTRS_MEMO.get(attrs)
     if got is not None:
@@ -507,6 +530,23 @@ class Tokenizer:
                     while n_em < _FAST_BATCH_MAX:
                         m = any_m(inp, cursor)
                         if m is None:
+                            # error-free named charref: a full ;-terminated
+                            # longest match in Data state is exactly one
+                            # machine walk Data→CharRef→Named→flush with NO
+                            # parse error, emitting the decoded value as one
+                            # chars token and returning to Data. Anything
+                            # else (&name without ';', &#…, ambiguous &)
+                            # falls to the machine.
+                            if cursor < self._n and inp[cursor] == "&":
+                                ent = _longest_named_at(inp, cursor + 1,
+                                                        self._n)
+                                if ent is not None and ent[-1] == ";":
+                                    cursor += 1 + len(ent)
+                                    s = NAMED_REFERENCES[ent]
+                                    emitting_append(Token(CHARS, None, None, s))
+                                    budget -= len(s)
+                                    n_em += 1
+                                    continue
                             break
                         g = m.lastindex
                         if g == 1:  # text run

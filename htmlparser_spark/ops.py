@@ -211,25 +211,30 @@ def dedup_minhash_lsh(spark, sf_dir, threshold=0.5):
     bucket equi-join for candidates → exact Jaccard verify. The oracle SQL
     mirrors the identical (portable) hash, so results match exactly.
 
-    Plan choice, measured: the explode(shingle×k) + groupBy(doc,k).min
-    variant looks shuffle-heavy but is NOT — HashAggregate's map-side
-    partial combine means the shuffle carries only |docs|·16 partial
-    minima, independent of shingle count, and the per-shingle hashing runs
-    in whole-stage codegen. The "map-only" alternative (array_min over
-    transform / one F.aggregate pass per row) avoids even that but runs the
-    16 md5s per shingle in interpreted higher-order-function lambdas —
-    measured 2-10x slower. Exploded + partial agg is the right plan at
-    100 TB too."""
+    Plan choice, measured (sf0.1, local[32], min-of-2): all 16 minima as
+    SEPARATE codegen'd min-aggregate columns over the un-exploded shingle
+    rows — one groupBy(doc_id) pass, map-side partial combine, shuffle of
+    |docs| rows × 16 columns. Beats the explode(shingle×16) +
+    groupBy(doc,k).min variant (5.2s → 4.2s: same hash work, but 16× fewer
+    Tungsten rows generated and shuffled). The "map-only" alternative
+    (array_min over transform / one F.aggregate pass per row) runs the 16
+    md5s per shingle in interpreted higher-order-function lambdas —
+    measured 2-10x slower. Band signatures are then built column-wise and
+    unpivoted into (doc_id, band, sig) — a |docs|·4-row table."""
     sh = _materialized(_shingle_sets(spark, sf_dir), "minhash_shingles")
-    ks = F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("k")
-    mh = (sh.select("doc_id", "shingle", ks)
-          .withColumn("h", _portable_hash32(F.col("shingle"), F.col("k")))
-          .groupBy("doc_id", "k").agg(F.min("h").alias("mh"))
-          .withColumn("band", (F.col("k") / (N_MINHASH // N_BANDS)).cast("int")))
-    sig = (mh.groupBy("doc_id", "band")
-           .agg(F.array_join(F.transform(
-               F.array_sort(F.collect_list(F.struct("k", "mh"))),
-               lambda s: s["mh"].cast("string")), "-").alias("sig")))
+    rows_per_band = N_MINHASH // N_BANDS
+    mins = sh.groupBy("doc_id").agg(*[
+        F.min(_portable_hash32(F.col("shingle"), F.lit(k))).alias(f"mh{k}")
+        for k in range(N_MINHASH)])
+    sig = (mins.select("doc_id", F.explode(F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("-", *[F.col(f"mh{k}").cast("string")
+                               for k in range(rows_per_band * b,
+                                              rows_per_band * (b + 1))]
+                        ).alias("sig"))
+        for b in range(N_BANDS)])).alias("bs"))
+        .select("doc_id", "bs.band", "bs.sig"))
     a = sig.alias("a")
     b = sig.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))

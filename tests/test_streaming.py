@@ -62,6 +62,27 @@ def test_stream_exactly_once_and_incremental(spark, tmp_path):
     assert set(parsed.columns) >= {"url", "status", "main_text", "part_key"}
 
 
+def test_stream_empty_source_returns_zero_rows(spark, tmp_path):
+    """First run against a source dir with no files: the file sink never
+    creates out/parsed — must report 0 rows, not raise PATH_NOT_FOUND."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    assert run_stream_once(spark, src, out) == {"rows_total": 0}
+
+
+def test_host_extraction_handles_pathless_urls(spark):
+    """'https://host.example' (no trailing slash) must yield its host, not
+    collapse into the '' group (streaming/job.py host regex)."""
+    df = spark.createDataFrame(
+        [("https://a.example",), ("https://b.example/path",), ("nourl",)],
+        "url string")
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    got = {r.url: r.h for r in df.select("url", host.alias("h")).collect()}
+    assert got == {"https://a.example": "a.example",
+                   "https://b.example/path": "b.example", "nourl": ""}
+
+
 def test_stream_error_windows_respect_watermark(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)
