@@ -216,6 +216,91 @@ def audio_frame_sample(spark: SparkSession, n_rows: int = 400) -> DataFrame:
             .mapInPandas(frame_sample_batch, schema=FRAME_SCHEMA))
 
 
+# --- PDF text/layout extraction (north-rule tier: "PDF/layout parse") --------
+#
+# Real deployments parse PDFs with pypdf/pdfminer/poppler; none ship in this
+# container, so the DECODER parses a deterministic synthetic container
+# ("FPDF" | u8 n_pages | per page: u16 byte_len | utf-8 text) — but the
+# Spark side is production-shaped: binary blobs through mapInPandas, one
+# output row per page. The page text is a pure function of (doc_id, page,
+# word) through md5, so the DuckDB oracle recomputes the exact strings and
+# the value-hash gate verifies the real byte round-trip.
+# Swap `_decode_pdf_blob` for pypdf's `PdfReader(...).pages[i].extract_text()`.
+
+PDF_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("blob", BinaryType()),
+])
+
+PDF_PAGE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("page_no", IntegerType()),
+    StructField("text", StringType()),
+    StructField("n_words", IntegerType()),
+    StructField("n_chars", IntegerType()),
+])
+
+
+def _pdf_page_text(doc_id: int, page_no: int) -> str:
+    n_words = 10 + (doc_id + page_no) % 20
+    return " ".join(
+        hashlib.md5(f"pdf:{doc_id}:{page_no}:{w}".encode()).hexdigest()[:6]
+        for w in range(n_words))
+
+
+def make_pdf_blob(doc_id: int) -> bytes:
+    n_pages = 1 + doc_id % 5
+    out = bytearray(b"FPDF")
+    out.append(n_pages)
+    for p in range(n_pages):
+        data = _pdf_page_text(doc_id, p).encode("utf-8")
+        out += struct.pack(">H", len(data))
+        out += data
+    return bytes(out)
+
+
+def synth_pdfs(spark: SparkSession, n_rows: int,
+               partitions: int = 8) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(int(i), make_pdf_blob(int(i)))
+                    for i in pdf["id"].tolist()]
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(
+        gen, schema=PDF_SCHEMA)
+
+
+def _decode_pdf_blob(blob: bytes) -> list[str]:
+    """Swap-in point for pypdf: returns per-page extracted text."""
+    if blob[:4] != b"FPDF":
+        raise ValueError("not a FPDF blob")
+    n_pages = blob[4]
+    pages = []
+    off = 5
+    for _ in range(n_pages):
+        (ln,) = struct.unpack(">H", blob[off:off + 2])
+        off += 2
+        pages.append(blob[off:off + ln].decode("utf-8"))
+        off += ln
+    return pages
+
+
+def pdf_text_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for did, blob in zip(pdf["doc_id"].tolist(), pdf["blob"].tolist()):
+            for p, text in enumerate(_decode_pdf_blob(bytes(blob))):
+                rows.append((did, p, text, text.count(" ") + 1, len(text)))
+        yield pd.DataFrame(rows,
+                           columns=[f.name for f in PDF_PAGE_SCHEMA.fields])
+
+
+def pdf_text_extract(spark: SparkSession, n_rows: int = 200) -> DataFrame:
+    return synth_pdfs(spark, n_rows).mapInPandas(pdf_text_batch,
+                                                 schema=PDF_PAGE_SCHEMA)
+
+
 # --- feature extraction stub --------------------------------------------------
 
 FEATURE_DIM = 8

@@ -539,6 +539,37 @@ def text_lang_id(spark, sf_dir):
                     pred.alias("lang_pred")))
 
 
+SPAN_WINDOW = 16  # words per span
+SPAN_STRIDE = 8   # words between span starts
+
+
+def text_span_dedup(spark, sf_dir):
+    """C4-style duplicate-span detection: hash every 16-word window (stride
+    8) and report windows shared by >= 2 documents — the discovery pass of
+    "remove repeated three-sentence spans" style web-corpus cleaning.
+    Scale shape: windows are a map-side transform (no explode until the
+    per-doc distinct hash set), the single shuffle keys on the span hash,
+    and the aggregate is a partial-combined count + min — never a pair
+    join, so output is bounded by |distinct shared spans|, not pairs."""
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    nw = F.size(words)
+    idx = F.sequence(
+        F.lit(0),
+        F.floor((nw - F.lit(SPAN_WINDOW)) / F.lit(SPAN_STRIDE)).cast("int"))
+    spans = F.transform(
+        idx, lambda i: F.array_join(
+            F.slice(words, i * SPAN_STRIDE + 1, SPAN_WINDOW), " "))
+    return (_t(spark, sf_dir, "documents")
+            .filter(nw >= SPAN_WINDOW)
+            .select("doc_id", F.explode(spans).alias("span"))
+            .select("doc_id", F.md5("span").alias("span_hash"))
+            .distinct()
+            .groupBy("span_hash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keeper_id"))
+            .filter(F.col("n_docs") >= 2))
+
+
 def text_fingerprint(spark, sf_dir):
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
     return (_t(spark, sf_dir, "documents")

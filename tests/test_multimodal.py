@@ -80,3 +80,24 @@ def test_feature_vectors_deterministic(spark):
     assert a == b
     assert all(len(v) == mm.FEATURE_DIM for v in a.values())
     assert all(-0.5 <= x <= 0.5 for v in a.values() for x in v)
+
+
+def test_pdf_text_round_trip(spark):
+    rows = mm.pdf_text_extract(spark, 30).collect()
+    # one row per page, n_pages = 1 + doc_id % 5
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(30))
+    for did, pages in by_doc.items():
+        assert len(pages) == 1 + did % 5
+        for p in pages:
+            assert p.text == mm._pdf_page_text(did, p.page_no)
+            assert p.n_words == 10 + (did + p.page_no) % 20
+            assert p.n_chars == len(p.text)
+
+
+def test_pdf_decode_rejects_bad_magic():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mm._decode_pdf_blob(b"NOPE" + b"\x00" * 8)
