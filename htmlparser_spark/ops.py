@@ -223,8 +223,18 @@ def dedup_minhash_lsh(spark, sf_dir, threshold=0.5):
     unpivoted into (doc_id, band, sig) — a |docs|·4-row table."""
     sh = _materialized(_shingle_sets(spark, sf_dir), "minhash_shingles")
     rows_per_band = N_MINHASH // N_BANDS
-    mins = sh.groupBy("doc_id").agg(*[
-        F.min(_portable_hash32(F.col("shingle"), F.lit(k))).alias(f"mh{k}")
+    # one md5 digest per BAND per shingle, sliced into the band's 4
+    # independent 32-bit hash values (md5 bits are uniform, so digest
+    # slices are as independent as separate seeded hashes — standard
+    # minhash practice) — 4 md5 calls per shingle instead of 16, and the
+    # 128-bit digest is consumed exactly (4 × 8 hex chars)
+    md5s = [F.md5(F.concat_ws(":", F.lit(str(b)), F.col("shingle")))
+            .alias(f"m{b}") for b in range(N_BANDS)]
+    pre = sh.select("doc_id", *md5s)
+    mins = pre.groupBy("doc_id").agg(*[
+        F.min(F.conv(F.substring(F.col(f"m{k // rows_per_band}"),
+                                 1 + 8 * (k % rows_per_band), 8),
+                     16, 10).cast("long")).alias(f"mh{k}")
         for k in range(N_MINHASH)])
     sig = (mins.select("doc_id", F.explode(F.array(*[
         F.struct(

@@ -200,7 +200,11 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
         if lang:
             df = df.filter(F.col("lang") == lang)
     sc = spark.sparkContext
-    num_partitions = num_partitions or sc.defaultParallelism * 2
+    # one wave of homogeneous tasks: the 4096-bucket url-hash key spreads
+    # pages evenly and huge pages are salted, so ×2-3 task oversubscription
+    # (the usual hedge for heterogeneous stages) only adds per-task
+    # Arrow/scheduling overhead here; AQE skew handling remains the backstop
+    num_partitions = num_partitions or sc.defaultParallelism
 
     if dedup:
         df = dedup_latest(df)

@@ -133,6 +133,41 @@ def test_iceberg_identifier_routing(spark):
     assert _is_table_identifier("catalog.db.pages", None)
 
 
+def test_write_parsed_table_uses_partition_overwrite(spark):
+    """Resume semantics of the Iceberg sink (no iceberg jar in sandbox, so
+    the writer chain is verified against a duck-typed recorder): default
+    resume path must use dynamic partition overwrite, create=True replaces.
+    The session fixture is needed because F.bucket requires an active
+    SparkContext."""
+    from htmlparser_spark.pipeline.job import write_parsed_table
+
+    calls = []
+
+    class FakeWriter:
+        def partitionedBy(self, *a):
+            calls.append("partitionedBy")
+            return self
+
+        def createOrReplace(self):
+            calls.append("createOrReplace")
+
+        def overwritePartitions(self):
+            calls.append("overwritePartitions")
+
+    class FakeDF:
+        def writeTo(self, table):
+            calls.append(f"writeTo:{table}")
+            return FakeWriter()
+
+    write_parsed_table(FakeDF(), "cat.db.parsed")
+    assert calls == ["writeTo:cat.db.parsed", "partitionedBy",
+                     "overwritePartitions"]
+    calls.clear()
+    write_parsed_table(FakeDF(), "cat.db.parsed", create=True)
+    assert calls == ["writeTo:cat.db.parsed", "partitionedBy",
+                     "createOrReplace"]
+
+
 def test_resume_after_kill(spark, corpus, tmp_path):
     out_full = str(tmp_path / "full")
     out_resume = str(tmp_path / "resume")
