@@ -166,7 +166,13 @@ def _materialized(df: DataFrame, name: str) -> DataFrame:
         path = os.path.join(ckpt_dir, name)
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
-    return df.cache()
+    df = df.cache()
+    # eager fill: a lazy cache is raced by the first job's parallel
+    # consumers (e.g. both sides of a self-join), each recomputing the full
+    # lineage before any block lands — measured ~1.7s of duplicated minhash
+    # signature work at sf0.1
+    df.count()
+    return df
 
 
 def _shingle_sets(spark, sf_dir):
@@ -234,8 +240,14 @@ def dedup_minhash_lsh(spark, sf_dir, threshold=0.5):
     (array_min over transform / one F.aggregate pass per row) runs the 16
     md5s per shingle in interpreted higher-order-function lambdas —
     measured 2-10x slower. Band signatures are then built column-wise and
-    unpivoted into (doc_id, band, sig) — a |docs|·4-row table."""
-    sh = _materialized(_shingle_sets(spark, sf_dir), "minhash_shingles")
+    unpivoted into (doc_id, band, sig) — a |docs|·4-row table. The
+    exact-Jaccard verify joins the TINY candidate-pair set (broadcast)
+    against the per-doc shingle ARRAYS and intersects map-side
+    (array_intersect) — no shuffle of the exploded shingle set."""
+    arr = _materialized(
+        _shingle_array(_t(spark, sf_dir, "documents").select("doc_id", "text")),
+        "minhash_shingle_arrays")
+    sh = arr.select("doc_id", F.explode("shs").alias("shingle"))
     rows_per_band = N_MINHASH // N_BANDS
     # one md5 digest per BAND per shingle, sliced into the band's 4
     # independent 32-bit hash values (md5 bits are uniform, so digest
@@ -259,6 +271,10 @@ def dedup_minhash_lsh(spark, sf_dir, threshold=0.5):
                         ).alias("sig"))
         for b in range(N_BANDS)])).alias("bs"))
         .select("doc_id", "bs.band", "bs.sig"))
+    # materialize the tiny |docs|·4-row signature table: both sides of the
+    # self-join otherwise recompute the whole shingle→minhash lineage
+    # (measured 2.7s -> 0.4s for candidate generation at sf0.1)
+    sig = _materialized(sig, "minhash_sig")
     a = sig.alias("a")
     b = sig.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -267,19 +283,16 @@ def dedup_minhash_lsh(spark, sf_dir, threshold=0.5):
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    # exact verify on candidates only
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (cand.join(sh.select(F.col("doc_id").alias("doc_a"),
-                                 F.col("shingle").alias("sh_a")), "doc_a")
-             .join(sh.select(F.col("doc_id").alias("doc_b"),
-                             F.col("shingle").alias("sh_b")), "doc_b")
-             .filter(F.col("sh_a") == F.col("sh_b"))
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    # exact verify on candidates only: broadcast the tiny pair set against
+    # the shingle-array table twice (both joins map-side), intersect the
+    # two distinct-shingle arrays per pair — shuffle-free verification
+    va = arr.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    vb = arr.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (F.broadcast(cand).join(va, "doc_a")
+            .join(vb, "doc_b")
             .withColumn("jaccard", F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+                inter / (F.size("shs_a") + F.size("shs_b") - inter), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
 
