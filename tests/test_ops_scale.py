@@ -1,0 +1,71 @@
+"""Scale-path behaviors of the dedup operators: parquet checkpointing of
+shared intermediates and the hot-shingle document-frequency cap."""
+import os
+import sys
+
+import pytest
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from htmlparser_spark import ops
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (SparkSession.builder.master("local[2]")
+         .appName("ops-scale-tests")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+    yield s
+    s.stop()
+
+
+def _write_docs(spark, tmp_path, rows):
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df = spark.createDataFrame(
+        [(i, t, len(t), "en", "web") for i, t in enumerate(rows)],
+        "doc_id long, text string, n_chars long, lang string, source string")
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir
+
+
+def test_minhash_ckpt_dir_writes_parquet_and_matches(spark, tmp_path,
+                                                     monkeypatch):
+    """SPARK_GRAFT_CKPT_DIR (the 100 TB path): intermediates go to parquet
+    instead of executor cache, with identical results."""
+    # 40-word docs differing in the last word: jaccard ~0.95, which the
+    # 16-hash/4-band LSH catches deterministically for this word set
+    words = [f"w{i}" for i in range(40)]
+    a = " ".join(words)
+    b = " ".join(words[:39] + ["altword"])
+    rows = [a, b, "totally different words here one two three four five six"]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+
+    base = sorted(map(tuple, ops.dedup_minhash_lsh(spark, sf_dir).collect()))
+
+    ckpt = str(tmp_path / "ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_DIR", ckpt)
+    ckpted = sorted(map(tuple, ops.dedup_minhash_lsh(spark, sf_dir).collect()))
+    assert ckpted == base and base  # near-dup pair found both ways
+    written = os.listdir(ckpt)
+    assert "minhash_shingle_arrays" in written and "minhash_sig" in written
+
+
+def test_jaccard_hot_shingle_cap_drops_ubiquitous_shingles(spark, tmp_path):
+    """A shingle present in more than SHINGLE_DF_CAP docs must not create
+    candidate pairs on its own (the f² pair-blowup guard)."""
+    hot = "common boiler plate"  # one 3-gram shared by EVERY doc
+    n = ops.SHINGLE_DF_CAP + 5
+    rows = [f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d" for i in range(n)]
+    # plus one true near-dup pair sharing rare shingles
+    rows += ["rare one two three four five six seven eight nine",
+             "rare one two three four five six seven eight ten"]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = ops.dedup_ngram_jaccard(spark, sf_dir, threshold=0.3).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in got}
+    # the hot shingle alone must not connect the n boilerplate docs
+    assert all(a >= n or b >= n for a, b in pairs), pairs
+    assert (n, n + 1) in pairs  # the genuine near-dup pair survives
