@@ -378,12 +378,17 @@ class Parser:
             raise KernelError("err:null-ref:create-element")
         # create_an_element + finished_attributes inlined (hot path):
         # typed factory lookup, then attribute list with duplicates
-        # preserved (Q17)
+        # preserved (Q17). tag.finished is the memoized finished form for
+        # fast-path tags — shared across elements, never mutated (no
+        # attribute-mutation exists on the parse path; Element.cs:25).
         name = tag.name
         el = Node(_TYPED_ELEMENTS.get(name, "HTMLElement"), tag_name=name)
-        attrs = tag.attributes
-        el.attributes = ([(n, "".join(v)) for n, v in attrs]
-                         if attrs is not None else [])
+        if tag.finished is not None:
+            el.attributes = tag.finished
+        else:
+            attrs = tag.attributes
+            el.attributes = ([(n, "".join(v)) for n, v in attrs]
+                             if attrs is not None else [])
         return el
 
     def insert_foreign_element(self, token):  # insert_a_foreign_element, :122-135

@@ -111,12 +111,13 @@ SPACE5 = "\t\n\x0c\r "  # token-level space set (HTMLToken.cs:37-45; incl \r)
 
 
 class Tag:
-    __slots__ = ("name", "self_closing", "attributes")
+    __slots__ = ("name", "self_closing", "attributes", "finished")
 
     def __init__(self, name=""):
         self.name = name
         self.self_closing = False
         self.attributes = None  # list of [name:str, value_chunks:list[str]]
+        self.finished = None  # memoized finished_attributes() (fast path)
 
     def start_new_attribute(self, name="", value=""):  # HTMLToken.cs:126-136
         if self.attributes is None:
@@ -130,6 +131,8 @@ class Tag:
         self.attributes[-1][1].append(s)
 
     def finished_attributes(self):
+        if self.finished is not None:
+            return self.finished
         if self.attributes is None:
             return None
         return [(n, "".join(v)) for n, v in self.attributes]
@@ -304,14 +307,17 @@ def _longest_named_at(inp: str, pos: int, n: int):
 
 
 def _parse_fast_attrs(attrs: str):
+    """Returns (machine-format attrs, finished tuple list) — both shared
+    between tags via the memo; neither is ever mutated downstream."""
     got = _ATTRS_MEMO.get(attrs)
     if got is not None:
         return got
     parsed = [[a, [dq or sq] if (dq or sq) else []]
               for a, dq, sq in _RX_FAST_ATTR.findall(attrs)]
+    pair = (parsed, [(n, "".join(v)) for n, v in parsed])
     if len(attrs) <= _ATTRS_MEMO_KEY_MAX and len(_ATTRS_MEMO) < _ATTRS_MEMO_MAX:
-        _ATTRS_MEMO[attrs] = parsed
-    return parsed
+        _ATTRS_MEMO[attrs] = pair
+    return pair
 
 _ATTR_VALUE_RETURN_STATES = (S_ATTR_VALUE_DQ, S_ATTR_VALUE_SQ, S_ATTR_VALUE_UNQ)
 
@@ -572,7 +578,8 @@ class Tokenizer:
                             # (name, dq-value, sq-value); valueless and
                             # empty-quoted both yield value "" exactly
                             # like the machine's finished_attributes
-                            tag.attributes = _parse_fast_attrs(attrs)
+                            tag.attributes, tag.finished = \
+                                _parse_fast_attrs(attrs)
                         cursor = m.end()
                         emitting_append(Token(START_TAG, tag))
                         self._last_start_tag_name = name
@@ -593,7 +600,8 @@ class Tokenizer:
                             tag = Tag(m.group(1))
                             attrs = m.group(2)
                             if attrs:
-                                tag.attributes = _parse_fast_attrs(attrs)
+                                tag.attributes, tag.finished = \
+                                    _parse_fast_attrs(attrs)
                             self._cursor = m.end()
                             self._emit_token(Token(START_TAG, tag=tag))
                             continue
