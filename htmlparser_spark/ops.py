@@ -576,6 +576,25 @@ def text_lang_id(spark, sf_dir):
                     pred.alias("lang_pred")))
 
 
+def corpus_quality_filter(spark, sf_dir):
+    """The composed C4-style cleaning pass a training-data pipeline runs:
+    keep a document iff it is the exact-dedup keeper (min doc_id per
+    content hash) AND predicted English AND quality score >= 0.6 AND
+    20..1000 whitespace tokens. All inputs are the individual operators'
+    own expressions, so this also pins their composition; every stage is
+    codegen expressions + one content-hash groupBy + doc_id equi-joins."""
+    quality = text_quality(spark, sf_dir).select(
+        "doc_id", "n_words", "quality_score")
+    lang = text_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    keepers = (dedup_exact(spark, sf_dir)
+               .select(F.col("keeper_id").alias("doc_id")))
+    return (quality.join(lang, "doc_id").join(keepers, "doc_id")
+            .filter((F.col("lang_pred") == "en")
+                    & (F.col("quality_score") >= 0.6)
+                    & F.col("n_words").between(20, 1000))
+            .select("doc_id", "n_words", "quality_score", "lang_pred"))
+
+
 SPAN_WINDOW = 16  # words per span
 SPAN_STRIDE = 8   # words between span starts
 
