@@ -628,6 +628,24 @@ class Tokenizer:
                         continue
                     if self._match_appropriate_end_tag(inp):
                         continue
+                    cur = self._cursor
+                    # '<' not opening an end tag: the machine walks
+                    # RCDATA→RCDATA_LT→anything-else, emitting "<" with no
+                    # error and returning to RCDATA ('<'+EOF falls through:
+                    # its reconsume-at-EOF path must stay per-char)
+                    if (cur + 1 < self._n and inp[cur] == "<"
+                            and inp[cur + 1] != "/"):
+                        self._cursor = cur + 1
+                        self._emit_chars("<")
+                        continue
+                    # ;-terminated named charref in RCDATA flushes via
+                    # _emit_chars exactly like the Data-state walk
+                    if cur < self._n and inp[cur] == "&":
+                        ent = _longest_named_at(inp, cur + 1, self._n)
+                        if ent is not None and ent[-1] == ";":
+                            self._cursor = cur + 1 + len(ent)
+                            self._emit_chars(NAMED_REFERENCES[ent])
+                            continue
                 self._consume()
                 c = self._cur
                 if c == "&":
@@ -651,6 +669,13 @@ class Tokenizer:
                         continue
                     if self._match_appropriate_end_tag(inp):
                         continue
+                    cur = self._cursor
+                    # same "<"-emitting anything-else walk as RCDATA_LT
+                    if (cur + 1 < self._n and inp[cur] == "<"
+                            and inp[cur + 1] != "/"):
+                        self._cursor = cur + 1
+                        self._emit_chars("<")
+                        continue
                 self._consume()
                 c = self._cur
                 if c == "<":
@@ -670,6 +695,14 @@ class Tokenizer:
                         self._emit_chars(m.group())
                         continue
                     if self._match_appropriate_end_tag(inp):
+                        continue
+                    cur = self._cursor
+                    # '<' opening neither an end tag nor '<!' escape start:
+                    # ScriptData→SD_LT→anything-else emits "<", no error
+                    if (cur + 1 < self._n and inp[cur] == "<"
+                            and inp[cur + 1] != "/" and inp[cur + 1] != "!"):
+                        self._cursor = cur + 1
+                        self._emit_chars("<")
                         continue
                 self._consume()
                 c = self._cur
