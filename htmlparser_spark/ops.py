@@ -13,6 +13,7 @@ cluster):
 """
 from __future__ import annotations
 
+import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -155,15 +156,22 @@ def _shingles(df, n=3):
         "doc_id", F.explode("shs").alias("shingle"))
 
 
+_CKPT_SEQ = itertools.count()
+
+
 def _materialized(df: DataFrame, name: str) -> DataFrame:
     """Reuse a computed intermediate across the multiple consumers of the
     dedup plans. Default: executor-memory cache — right for bench scale. At
     100 TB set SPARK_GRAFT_CKPT_DIR: the shingle set (>> memory) is written
     once to storage as parquet and re-scanned, instead of thrashing the
-    block manager / recomputing the explode per consumer."""
+    block manager / recomputing the explode per consumer. The path gets a
+    per-process unique suffix so a later invocation (other corpus,
+    concurrent job) can never clobber data a previously returned DataFrame
+    still lazily reads."""
     ckpt_dir = os.environ.get("SPARK_GRAFT_CKPT_DIR")
     if ckpt_dir:
-        path = os.path.join(ckpt_dir, name)
+        path = os.path.join(ckpt_dir,
+                            f"{name}-{os.getpid()}-{next(_CKPT_SEQ)}")
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
     df = df.cache()
@@ -400,6 +408,21 @@ N_IVF_MIN_CENTROIDS = 16
 N_IVF_PROBES = 2
 
 
+_EMB_COUNT_CACHE: dict = {}
+
+
+def _emb_count(spark, sf_dir) -> int:
+    """Corpus size for IVF codebook sizing, memoized per (app, table) so
+    composing both IVF operators costs ONE column-pruned count, not one
+    full scan per DataFrame construction. A production deployment would
+    read this from table statistics (Iceberg snapshot summary / ANALYZE)
+    instead of counting at all."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EMB_COUNT_CACHE:
+        _EMB_COUNT_CACHE[key] = _t(spark, sf_dir, "embeddings").count()
+    return _EMB_COUNT_CACHE[key]
+
+
 def _ivf_n_centroids(n_vectors: int) -> int:
     """Centroid count scales as √n (IVF rule of thumb), floored at 16: cell
     population stays ~√n as the corpus grows, so within-cell work is
@@ -439,7 +462,7 @@ def embedding_ann_ivf(spark, sf_dir, k=3, n_queries=5):
     emb = (_t(spark, sf_dir, "embeddings")
            .select("vec_id", F.transform("embedding",
                                          lambda x: x.cast("double")).alias("v")))
-    n_cent = _ivf_n_centroids(emb.count())
+    n_cent = _ivf_n_centroids(_emb_count(spark, sf_dir))
     cents = (emb.filter(F.col("vec_id") < n_cent)
              .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")))
     assigned = _ivf_assign(emb, cents)
@@ -474,7 +497,7 @@ def dedup_embedding_cosine(spark, sf_dir, threshold=0.40):
     emb = (_t(spark, sf_dir, "embeddings")
            .select("vec_id", F.transform("embedding",
                                          lambda x: x.cast("double")).alias("v")))
-    n_cent = _ivf_n_centroids(emb.count())
+    n_cent = _ivf_n_centroids(_emb_count(spark, sf_dir))
     cents = (emb.filter(F.col("vec_id") < n_cent)
              .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")))
     assigned = _ivf_assign(emb, cents)

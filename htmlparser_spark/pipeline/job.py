@@ -15,6 +15,7 @@ import os
 import re
 from functools import partial
 
+from pyspark.errors import AnalysisException, ParseException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -95,7 +96,10 @@ def _is_table_identifier(path: str, spark: SparkSession | None = None) -> bool:
         return True
     try:
         return spark.catalog.tableExists(path)
-    except Exception:
+    except (AnalysisException, ParseException):
+        # malformed-identifier shapes route to the filesystem branch;
+        # infra errors (metastore outage etc.) must PROPAGATE, not silently
+        # reroute a real table name to a parquet path
         return False
 
 

@@ -29,6 +29,7 @@ from typing import Iterator, Tuple
 
 import pandas as pd
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -156,10 +157,12 @@ def run_stream_once(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
     q = write_parsed_stream(parsed, out_dir)
     q.awaitTermination()
     parsed_dir = os.path.join(out_dir, "parsed")
-    if not os.path.exists(parsed_dir):
+    try:
+        out = spark.read.schema(PARSED_SCHEMA).parquet(parsed_dir)
+        n = out.count()
+    except AnalysisException:
         # empty source on the first run: the file sink never creates the
-        # output path, which is "0 rows", not an error
+        # output path, which is "0 rows", not an error. Probed through
+        # Spark's reader (not os.path) so hdfs://-s3a:// sinks work too.
         return {"rows_total": 0}
-    out = spark.read.schema(PARSED_SCHEMA).parquet(parsed_dir)
-    n = out.count()
     return {"rows_total": n}

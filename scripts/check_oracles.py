@@ -112,6 +112,14 @@ def main():
     oracles = entrymod.oracle_sql()
     only = set(sys.argv[1:])
     failures = []
+    # the generated pinned oracles are the strongest gates — a missing
+    # pinned_oracles.py must FAIL here, not silently downgrade those
+    # queries to rows-only checks
+    from gen_pinned_oracles import PINNED
+    for q in PINNED:
+        if q not in oracles:
+            failures.append((q, "pinned oracle missing — regenerate "
+                                "pinned_oracles.py"))
     for name, fn in qs.items():
         if only and name not in only:
             continue

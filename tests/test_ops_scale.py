@@ -51,7 +51,9 @@ def test_minhash_ckpt_dir_writes_parquet_and_matches(spark, tmp_path,
     ckpted = sorted(map(tuple, ops.dedup_minhash_lsh(spark, sf_dir).collect()))
     assert ckpted == base and base  # near-dup pair found both ways
     written = os.listdir(ckpt)
-    assert "minhash_shingle_arrays" in written and "minhash_sig" in written
+    # paths carry a per-invocation unique suffix (clobber protection)
+    assert any(d.startswith("minhash_shingle_arrays-") for d in written)
+    assert any(d.startswith("minhash_sig-") for d in written)
 
 
 def test_jaccard_hot_shingle_cap_drops_ubiquitous_shingles(spark, tmp_path):
