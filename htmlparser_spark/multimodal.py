@@ -216,6 +216,87 @@ def audio_frame_sample(spark: SparkSession, n_rows: int = 400) -> DataFrame:
             .mapInPandas(frame_sample_batch, schema=FRAME_SCHEMA))
 
 
+# --- video frame sampling -----------------------------------------------------
+#
+# Same design as the audio path: a deterministic synthetic container
+# ("FVID" | u16 width | u16 height | u8 fps | u16 n_frames | payload of
+# min(n_frames, 64) per-frame 16-byte digests) stands in for a real codec;
+# swap `_decode_video_blob` + the sampling loop for ffmpeg keyframe
+# extraction. Geometry/fps/frame count are pure functions of media_id, so
+# the DuckDB oracle recomputes them arithmetically and the value-hash gate
+# verifies the byte-level decode.
+
+VIDEO_FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("ts_ms", IntegerType()),
+    StructField("frame_bytes", IntegerType()),
+])
+
+VIDEO_SAMPLE_EVERY = 8  # sample every 8th frame
+VIDEO_PAYLOAD_FRAMES = 64
+
+
+def video_params(media_id: int) -> tuple[int, int, int, int]:
+    return (160 + (media_id * 37) % 480,      # width
+            120 + (media_id * 53) % 360,      # height
+            12 + (media_id % 4) * 6,          # fps: 12/18/24/30
+            30 + (media_id * 17) % 270)       # n_frames
+
+def make_video_blob(media_id: int) -> bytes:
+    w, h, fps, nf = video_params(media_id)
+    payload = b"".join(
+        hashlib.md5(f"vid:{media_id}:{f}".encode()).digest()
+        for f in range(min(nf, VIDEO_PAYLOAD_FRAMES)))
+    return b"FVID" + struct.pack(">HHBH", w, h, fps, nf) + payload
+
+
+def synth_videos(spark: SparkSession, n_rows: int,
+                 partitions: int = 8) -> DataFrame:
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("blob", BinaryType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(int(i), make_video_blob(int(i)))
+                    for i in pdf["id"].tolist()]
+            yield pd.DataFrame(rows, columns=["media_id", "blob"])
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(gen,
+                                                             schema=schema)
+
+
+def _decode_video_blob(blob: bytes):
+    """Swap-in point for ffmpeg/PyAV stream opening."""
+    if blob[:4] != b"FVID":
+        raise ValueError("not a FVID blob")
+    w, h, fps, nf = struct.unpack(">HHBH", blob[4:11])
+    return w, h, fps, nf, blob[11:]
+
+
+def video_frame_batch(batches: Iterator[pd.DataFrame]
+                      ) -> Iterator[pd.DataFrame]:
+    """Every VIDEO_SAMPLE_EVERY-th frame: one output row with its timestamp
+    (frame/fps) and the bytes available for it in the payload (16-byte
+    digest per stored frame, 0 past the stored window)."""
+    for pdf in batches:
+        rows = []
+        for mid, blob in zip(pdf["media_id"].tolist(), pdf["blob"].tolist()):
+            w, h, fps, nf, payload = _decode_video_blob(bytes(blob))
+            for idx, f in enumerate(range(0, nf, VIDEO_SAMPLE_EVERY)):
+                frame = payload[f * 16:(f + 1) * 16]
+                rows.append((mid, idx, (f * 1000) // fps, len(frame)))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields])
+
+
+def video_frame_sample(spark: SparkSession, n_rows: int = 200) -> DataFrame:
+    return synth_videos(spark, n_rows).mapInPandas(video_frame_batch,
+                                                   schema=VIDEO_FRAME_SCHEMA)
+
+
 # --- PDF text/layout extraction (north-rule tier: "PDF/layout parse") --------
 #
 # Real deployments parse PDFs with pypdf/pdfminer/poppler; none ship in this

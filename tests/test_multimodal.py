@@ -101,3 +101,19 @@ def test_pdf_decode_rejects_bad_magic():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         mm._decode_pdf_blob(b"NOPE" + b"\x00" * 8)
+
+
+def test_video_frames_sample_every_8th(spark):
+    rows = mm.video_frame_sample(spark, 30).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == set(range(30))
+    for mid, frames in by_id.items():
+        _w, _h, fps, nf = mm.video_params(mid)
+        assert len(frames) == (nf - 1) // mm.VIDEO_SAMPLE_EVERY + 1
+        for r in sorted(frames, key=lambda x: x.frame_idx):
+            f = r.frame_idx * mm.VIDEO_SAMPLE_EVERY
+            assert r.ts_ms == (f * 1000) // fps
+            assert r.frame_bytes == (16 if f < min(nf, mm.VIDEO_PAYLOAD_FRAMES)
+                                     else 0)
