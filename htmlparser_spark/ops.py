@@ -488,6 +488,25 @@ def embedding_ann_ivf(spark, sf_dir, k=3, n_queries=5):
                     F.round("cos", 4).alias("cos_r")))
 
 
+def embedding_ann_recall(spark, sf_dir, k=3, n_queries=5):
+    """Recall@k of the IVF index against the brute-force exact baseline —
+    the evaluation query an ANN deployment runs before trusting the
+    approximate path. Both sides are the operators' own plans; the result
+    is per-query |approx ∩ exact| / k. Deterministic (both operators
+    are), so the oracle reproduces it exactly."""
+    exact = embedding_topk(spark, sf_dir, k=k, n_queries=n_queries) \
+        .select("query_id", "vec_id")
+    approx = embedding_ann_ivf(spark, sf_dir, k=k, n_queries=n_queries) \
+        .select("query_id", "vec_id")
+    hits = (exact.join(approx, ["query_id", "vec_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (base.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.round(F.coalesce(F.col("n_hits"), F.lit(0))
+                            / F.col("n_exact"), 4).alias("recall")))
+
+
 def dedup_embedding_cosine(spark, sf_dir, threshold=0.40):
     """Embedding-cosine near-dup pairs. Scale path: candidates restricted to
     pairs sharing an IVF cell (same deterministic ~√n-centroid assignment as
