@@ -16,8 +16,12 @@ from __future__ import annotations
 import itertools
 import os
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -329,14 +333,21 @@ def dedup_simhash(spark, sf_dir):
 
 # --- similarity search over embeddings --------------------------------------------
 
-def _cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+@pandas_udf(DoubleType())
+def _cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized cosine of two array<double> columns: one Arrow batch in,
+    numpy stacks the vectors and BLAS/SIMD does the dot products. Replaces
+    the round-2 F.aggregate/zip_with expression, which ran in Spark's
+    INTERPRETED higher-order-function evaluator — a 10-50x constant-factor
+    tax that would dominate the |vecs|·√n IVF assignment at 100 TB. Values
+    agree with the DuckDB oracle's list_dot_product to ~1 ulp (summation
+    order differs), far inside the round(cos, 4) comparison grain."""
+    A = np.array(a.tolist(), dtype=np.float64)
+    B = np.array(b.tolist(), dtype=np.float64)
+    dot = np.einsum("ij,ij->i", A, B)
+    na = np.sqrt(np.einsum("ij,ij->i", A, A))
+    nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+    return pd.Series(dot / (na * nb))
 
 
 def embedding_topk(spark, sf_dir, k=3, n_queries=5):
@@ -374,17 +385,17 @@ def embedding_ann_lsh(spark, sf_dir, k=3, n_queries=5, n_planes=8):
             vals.append((int(hx, 16) / 0x7FFFFFFF) - 1.0)
         return vals
 
-    planes = [plane(p) for p in range(n_planes)]
-    planes_lit = F.array(*[
-        F.array(*[F.lit(v) for v in pl]) for pl in planes])
+    # plane matrix is tiny (n_planes × dim) and ships to executors inside the
+    # udf closure; signs come from ONE matmul per Arrow batch instead of
+    # n_planes interpreted-HOF folds per row
+    P = np.array([plane(p) for p in range(n_planes)], dtype=np.float64)
 
-    def signature(vcol):
-        return F.array_join(F.transform(
-            planes_lit,
-            lambda pl: F.when(F.aggregate(
-                F.zip_with(pl, vcol, lambda x, y: x * y),
-                F.lit(0.0), lambda acc, v: acc + v) >= 0, F.lit("1"))
-            .otherwise(F.lit("0"))), "")
+    @pandas_udf(StringType())
+    def signature(v: pd.Series) -> pd.Series:
+        V = np.array(v.tolist(), dtype=np.float64)
+        bits = (V @ P.T >= 0).astype(np.uint8)
+        return pd.Series(["".join("1" if b else "0" for b in row)
+                          for row in bits])
 
     emb = (_t(spark, sf_dir, "embeddings")
            .select("vec_id", F.transform("embedding",
@@ -434,21 +445,33 @@ def _ivf_n_centroids(n_vectors: int) -> int:
 
 
 def _ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment as groupBy + max_by — a declarative
-    aggregate with MAP-SIDE PARTIAL aggregation, so the shuffle carries one
-    partially-reduced row per (vec_id) per map task instead of the full
-    |vecs|·|centroids| cross-join output a Window.partitionBy(vec_id) would
-    exchange. Tiebreak (equal cos_c) is deterministic: ordering struct is
-    (cos_c, -cent_id), i.e. lowest cent_id wins."""
-    ac = emb.crossJoin(F.broadcast(cents)) \
-        .withColumn("cos_c", _cosine(F.col("v"), F.col("cv")))
-    return (ac.groupBy("vec_id")
-            .agg(F.max_by(
-                F.struct(F.col("cent_id"), F.col("v")),
-                F.struct(F.col("cos_c"), (-F.col("cent_id")).alias("nc"))
-            ).alias("best"))
-            .select("vec_id", F.col("best.v").alias("v"),
-                    F.col("best.cent_id").alias("cell")))
+    """Nearest-centroid assignment as ONE map-side numpy pass: the √n-row
+    codebook is collected to the driver (√(10⁹) centroids × 64 dims × 8 B ≈
+    16 MB — the standard IVF build pattern; real deployments broadcast the
+    trained codebook exactly like this) and each Arrow batch computes a
+    single (batch × centroids) matmul + argmax. Zero shuffle and zero
+    joined-row materialization — the round-2 crossJoin+max_by plan, while
+    partially aggregated, still generated |vecs|·√n Tungsten rows through
+    the interpreted-HOF cosine. Tiebreak matches the oracle: argmax returns
+    the FIRST maximal index and rows are ordered by cent_id ascending, so
+    equal-cosine ties resolve to the lowest cent_id."""
+    rows = cents.orderBy("cent_id").collect()
+    cent_ids = np.array([r["cent_id"] for r in rows], dtype=np.int64)
+    C = np.array([r["cv"] for r in rows], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            best = np.argmax(Vn @ Cn.T, axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "v": pdf["v"],
+                                "cell": cent_ids[best]})
+
+    return emb.mapInPandas(assign, "vec_id bigint, v array<double>, cell bigint")
 
 
 def embedding_ann_ivf(spark, sf_dir, k=3, n_queries=5):

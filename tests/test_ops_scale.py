@@ -56,6 +56,36 @@ def test_minhash_ckpt_dir_writes_parquet_and_matches(spark, tmp_path,
     assert any(d.startswith("minhash_sig-") for d in written)
 
 
+def test_ivf_codebook_scales_with_corpus(spark, tmp_path):
+    """The √n IVF design (the round-1 scale fix): centroid count must grow
+    past the 16 floor once n > 256, and no cell may collect more than a
+    small multiple of √n vectors — pins the 100 TB cell-population shape
+    against regression to a fixed codebook."""
+    import numpy as np
+
+    n, dim = 400, 16
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(n, dim)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, v array<double>")
+
+    n_cent = ops._ivf_n_centroids(n)
+    assert n_cent == 20  # ceil(sqrt(400)) > the 16 floor
+    assert ops._ivf_n_centroids(4 * n) == 40  # grows as sqrt
+
+    cents = (emb.filter(emb.vec_id < n_cent)
+             .select(emb.vec_id.alias("cent_id"), emb.v.alias("cv")))
+    assigned = ops._ivf_assign(emb, cents)
+    sizes = {r["cell"]: r["n"] for r in
+             assigned.groupBy("cell").count().withColumnRenamed(
+                 "count", "n").collect()}
+    assert sum(sizes.values()) == n  # every vector assigned exactly once
+    assert len(sizes) > 10  # gaussian vectors spread across the codebook
+    # no cell may hoard: bound at 6·√n (expected population is n/ncells ≈ √n)
+    assert max(sizes.values()) <= 6 * int(n ** 0.5), sizes
+
+
 def test_jaccard_hot_shingle_cap_drops_ubiquitous_shingles(spark, tmp_path):
     """A shingle present in more than SHINGLE_DF_CAP docs must not create
     candidate pairs on its own (the f² pair-blowup guard)."""
