@@ -200,7 +200,15 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
     if isinstance(src, str):
         df = read_pages(spark, src, lang=lang)
     else:
-        df = src.select(*KERNEL_INPUT_COLS) if set(KERNEL_INPUT_COLS) <= set(src.columns) else src
+        missing = [c for c in KERNEL_INPUT_COLS if c not in src.columns]
+        if missing:
+            # fail here, with the real cause, rather than deep inside the
+            # Arrow kernel stage where a missing column surfaces as an
+            # opaque KeyError from a Python worker
+            raise ValueError(
+                f"input DataFrame is missing kernel column(s) {missing}; "
+                f"the kernel stage requires {list(KERNEL_INPUT_COLS)}")
+        df = src.select(*KERNEL_INPUT_COLS)
         if lang:
             df = df.filter(F.col("lang") == lang)
     sc = spark.sparkContext
@@ -238,8 +246,18 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
     )
     # hive-style layout keyed on the deterministic part_key: resume can
     # reason about (and re-write) whole partitions, and downstream scans get
-    # partition pruning on the same key
-    parsed.write.mode("append").partitionBy("part_key").parquet(parsed_path)
+    # partition pruning on the same key. DYNAMIC partition overwrite (not
+    # append) closes the crash window between this write committing and the
+    # lineage manifest below being written: a driver death in between leaves
+    # parsed part_keys unrecorded, and the next resume run re-parses them —
+    # with append that re-parse DUPLICATED the rows permanently; with
+    # dynamic overwrite it replaces exactly those part_key partitions
+    # (byte-identical content — the kernel is deterministic), while
+    # partitions not in the re-run's output are left untouched. This is the
+    # parquet mirror of the Iceberg sink's overwritePartitions().
+    (parsed.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("part_key").parquet(parsed_path))
 
     out = spark.read.parquet(parsed_path)
     lineage_of(out).write.mode("overwrite").parquet(lineage_path)

@@ -19,7 +19,7 @@ from htmlparser_spark.pipeline.job import (
     status_counts, with_part_key,
 )
 from htmlparser_spark.pipeline.kernel_stage import nodes_batch
-from htmlparser_spark.pipeline.schema import NODES_SCHEMA
+from htmlparser_spark.pipeline.schema import LINEAGE_SCHEMA, NODES_SCHEMA
 from htmlparser_spark.synth import synth_pages
 
 N_PAGES = 400
@@ -196,6 +196,46 @@ def test_resume_after_kill(spark, corpus, tmp_path):
     resumed_checksum = lineage_of(resumed).orderBy("part_key").collect()
     assert [r.asDict() for r in resumed_checksum] == \
            [r.asDict() for r in full_checksum]
+
+
+def test_resume_after_lineage_lost_does_not_duplicate(spark, corpus, tmp_path):
+    """The commit/lineage crash window: parsed parquet for some part_keys is
+    COMMITTED but the driver dies before their lineage rows land. The next
+    resume run re-parses those part_keys — dynamic partition overwrite must
+    REPLACE the orphaned partitions, never append a second copy."""
+    out = str(tmp_path / "out")
+    run_pipeline(spark, corpus, out, num_partitions=8)
+    parsed_path = os.path.join(out, "parsed")
+    lineage_path = os.path.join(out, "_lineage")
+    baseline = spark.read.parquet(parsed_path)
+    n_rows = baseline.count()
+    n_pages = baseline.select("url", "warc_ts").distinct().count()
+    assert n_rows == n_pages  # sanity: one row per page snapshot
+
+    # simulate the crash window: drop HALF the lineage rows but keep ALL
+    # parsed data (the write committed; the manifest didn't)
+    keys = sorted(int(d.split("=")[1]) for d in os.listdir(parsed_path)
+                  if d.startswith("part_key="))
+    lost = keys[::2]
+    keep = spark.read.parquet(lineage_path).filter(
+        ~F.col("part_key").isin(lost)).collect()
+    shutil.rmtree(lineage_path)
+    spark.createDataFrame(keep, LINEAGE_SCHEMA).write.parquet(lineage_path)
+
+    run_pipeline(spark, corpus, out, num_partitions=8)
+    resumed = spark.read.parquet(parsed_path)
+    assert resumed.count() == n_rows  # zero duplicate rows
+    dups = (resumed.groupBy("url", "warc_ts").count()
+            .filter(F.col("count") > 1).count())
+    assert dups == 0
+
+
+def test_missing_kernel_columns_fail_fast(spark, corpus, tmp_path):
+    """A DataFrame source lacking kernel columns must raise immediately,
+    naming the missing columns — not fall through to a worker KeyError."""
+    bad = corpus.drop("html", "lang")
+    with pytest.raises(ValueError, match=r"missing kernel column.*html"):
+        run_pipeline(spark, bad, str(tmp_path / "out"))
 
 
 def test_rerun_is_noop(spark, corpus, tmp_path):
