@@ -53,20 +53,20 @@ def ensure_corpus(spark, n_pages: int) -> str:
 
 
 def _kernel_measure(spark, n_pages: int, cpus: int) -> dict:
-    """scan -> url-hash repartition+salt -> Arrow parse/extract kernel -> agg.
-    Returns pages/bytes/sec; corpus generation is not in the timed window."""
+    """scan -> MAP-ONLY Arrow parse/extract kernel -> agg (the round-3
+    pipeline shape: raw html never crosses an exchange — the parquet
+    splitter's byte-balanced bin-packing IS the load balancing, since parse
+    cost is proportional to bytes; the old explicit url-hash repartition of
+    the raw pages cost ~40% of the stage at local[32] and would shuffle the
+    entire corpus at 100 TB). Returns pages/bytes/sec; corpus generation is
+    not in the timed window."""
     from pyspark.sql import functions as F
     from htmlparser_spark.pipeline.job import (
-        parse_pages, read_pages, repartition_pages, with_part_key)
+        parse_pages, read_pages, with_part_key)
 
     path = ensure_corpus(spark, n_pages)
-    # one task wave: partitions are explicitly balanced (4096-bucket url
-    # hash + huge-page salting), so tasks are homogeneous and extra waves
-    # only add per-task Arrow/scheduling overhead (measured: 32 parts 1.49s
-    # vs 64 parts 1.89s vs 256 parts 2.95s at local[32]/16.8k pages)
-    parts = max(cpus, 16)
     t0 = time.monotonic()
-    df = repartition_pages(with_part_key(read_pages(spark, path)), parts)
+    df = with_part_key(read_pages(spark, path))
     parsed = parse_pages(df, extract=True)
     agg = parsed.agg(
         F.count(F.lit(1)).alias("pages"),

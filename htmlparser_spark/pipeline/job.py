@@ -156,9 +156,15 @@ def repartition_pages(df: DataFrame, num_partitions: int,
 
 # --- S5 + S8: kernel + metrics ----------------------------------------------
 
-def parse_pages(df: DataFrame, extract: bool = True) -> DataFrame:
-    return df.mapInPandas(partial(parse_batch, extract=extract),
-                          schema=PARSED_SCHEMA)
+def parse_pages(df: DataFrame, extract: bool = True,
+                columns=None) -> DataFrame:
+    """Kernel stage. `columns` prunes the OUTPUT columns (see
+    kernel_stage.parsed_schema): a consumer that only aggregates
+    status/counters should not pay to build and Arrow-ship text/spans."""
+    from .kernel_stage import parsed_schema
+    return df.mapInPandas(partial(parse_batch, extract=extract,
+                                  columns=columns),
+                          schema=parsed_schema(columns))
 
 
 def error_counters(parsed: DataFrame) -> DataFrame:
@@ -212,15 +218,24 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
         if lang:
             df = df.filter(F.col("lang") == lang)
     sc = spark.sparkContext
-    # one wave of homogeneous tasks: the 4096-bucket url-hash key spreads
-    # pages evenly and huge pages are salted, so ×2-3 task oversubscription
-    # (the usual hedge for heterogeneous stages) only adds per-task
-    # Arrow/scheduling overhead here; AQE skew handling remains the backstop
     num_partitions = num_partitions or sc.defaultParallelism
 
-    if dedup:
-        df = dedup_latest(df)
+    # Pipeline shape (round 3): parse FIRST, map-only, then ONE exchange of
+    # the (much smaller) parsed output. The raw html never crosses an
+    # exchange: file/table scans already hand the kernel byte-balanced
+    # splits (maxPartitionBytes bin-packing — and parse cost is proportional
+    # to bytes, so these tasks are homogeneous without any salting), while
+    # the old scan→dedup-window→repartition→parse layout pushed the full
+    # raw corpus through TWO exchanges — 200 TB of extra shuffle I/O per
+    # 100 TB of input, and measured 1.6x slower locally (decomposition in
+    # BENCH/BASELINE.md). Duplicate snapshots (~5-20% of a crawl) are now
+    # parsed before being deduped — proportional extra CPU, deliberately
+    # traded for removing the full-corpus shuffles (parse is deterministic,
+    # so dedup-after-parse yields byte-identical output).
     df = with_part_key(df)
+    # raw-content fingerprint for the post-parse dedup tiebreak, computed
+    # JVM-side while html is still in hand (passthrough through the kernel)
+    df = df.withColumn("content_hash", F.xxhash64("html"))
 
     parsed_path = os.path.join(out_dir, "parsed")
     lineage_path = os.path.join(out_dir, "_lineage")
@@ -235,8 +250,29 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
     if done_keys is not None:
         df = df.join(F.broadcast(done_keys), "part_key", "left_anti")
 
-    df = repartition_pages(df, num_partitions, salt_threshold=salt_threshold)
+    if not isinstance(src, str):
+        # a caller-supplied DataFrame gives no byte-balance guarantee (it
+        # may be the output of a row-balanced shuffle holding all the huge
+        # pages in one partition) — only here is the explicit url-hash
+        # repartition + size-tier salting (S3/S4) worth a raw-page shuffle
+        df = repartition_pages(df, num_partitions,
+                               salt_threshold=salt_threshold)
     parsed = parse_pages(df, extract=extract)
+    # the single exchange: parsed rows, keyed on part_key — it clusters the
+    # partitionBy(part_key) sink AND (because part_key is a function of url)
+    # co-locates every snapshot of a url for the dedup window below
+    parsed = parsed.repartition(num_partitions, "part_key")
+    if dedup:
+        # latest-snapshot-wins on the parsed rows. partitionBy(part_key,url)
+        # is satisfied by the part_key hashpartitioning already in place
+        # (hash exprs ⊆ window clustering), so this adds a sort but NO new
+        # exchange — verified in the executed plan (docs/PLANS.md). Tiebreak
+        # matches dedup_latest: deterministic on raw content, never row
+        # order.
+        w = Window.partitionBy("part_key", "url").orderBy(
+            F.col("warc_ts").desc(), F.col("content_hash").desc())
+        parsed = (parsed.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
     parsed = parsed.observe(
         "kernel_metrics",
         F.count(F.lit(1)).alias("pages"),

@@ -14,38 +14,90 @@ from ..kernel.api import parse_html
 from .schema import NODES_SCHEMA, PARSED_SCHEMA
 
 _COLS = [f.name for f in PARSED_SCHEMA.fields]
+_FIELDS = {f.name: f for f in PARSED_SCHEMA.fields}
 
 
-def parse_batch(batches: Iterator[pd.DataFrame], extract: bool = True
-                ) -> Iterator[pd.DataFrame]:
+def parsed_schema(columns=None):
+    """PARSED_SCHEMA, or the canonical-ordered subset named by `columns`.
+    Output-column pruning for the Python stage: Catalyst cannot prune
+    through mapInPandas (the udf output is opaque to it), so a consumer
+    that only needs e.g. status/counters declares its columns here and the
+    kernel skips building + Arrow-shipping everything else — the manual
+    equivalent of the column pruning every JVM operator gets for free."""
+    if columns is None:
+        return PARSED_SCHEMA
+    want = set(columns)
+    unknown = want - set(_COLS)
+    if unknown:
+        raise ValueError(f"unknown parsed columns: {sorted(unknown)}")
+    return type(PARSED_SCHEMA)([_FIELDS[c] for c in _COLS if c in want])
+
+
+def parse_batch(batches: Iterator[pd.DataFrame], extract: bool = True,
+                columns=None) -> Iterator[pd.DataFrame]:
+    cols = _COLS if columns is None else [c for c in _COLS
+                                          if c in set(columns)]
+    want = set(cols)
+    w_title = "title" in want
+    w_text = "text" in want
+    w_main = "main_text" in want
+    w_spans = "spans" in want
+    w_errmap = "errors" in want
+    w_nerr = "n_errors" in want
+    w_nodes = "n_nodes" in want
+    w_elems = "n_elements" in want
+    w_bytes = "html_bytes" in want
     for pdf in batches:
         n = len(pdf)
         if n == 0:
             continue
-        urls = pdf["url"].tolist()
         htmls = pdf["html"].tolist()
-        out = {c: [] for c in _COLS}
-        out["url"] = urls
-        out["warc_ts"] = pdf["warc_ts"].tolist()
-        out["lang"] = (pdf["lang"].tolist() if "lang" in pdf.columns
-                       else [""] * n)
-        out["part_key"] = (pdf["part_key"].tolist() if "part_key" in pdf.columns
-                           else [0] * n)
+        out = {}
+        if "url" in want:
+            out["url"] = pdf["url"].tolist()
+        if "warc_ts" in want:
+            out["warc_ts"] = pdf["warc_ts"].tolist()
+        if "lang" in want:
+            out["lang"] = (pdf["lang"].tolist() if "lang" in pdf.columns
+                           else [""] * n)
+        if "part_key" in want:
+            out["part_key"] = (pdf["part_key"].tolist()
+                               if "part_key" in pdf.columns else [0] * n)
+        if "content_hash" in want:
+            out["content_hash"] = (pdf["content_hash"].tolist()
+                                   if "content_hash" in pdf.columns
+                                   else [0] * n)
+        kernel_lists = {c: [] for c in cols if c not in out}
+        status = kernel_lists.get("status")
         for html in htmls:
             r = parse_html(html, fast=True, extract=extract, want_dom=False)
-            out["status"].append(r["status"])
-            out["title"].append(r["title"])
-            out["text"].append(r["text"])
-            out["main_text"].append(r["main_text"])
-            out["spans"].append(
-                [{"node_id": a, "start": b, "end": c} for a, b, c in r["spans"]])
-            errors = {k: int(v) for k, v in r["errors"].items()}
-            out["errors"].append(errors)
-            out["n_errors"].append(sum(errors.values()))
-            out["n_nodes"].append(r["n_nodes"])
-            out["n_elements"].append(r["n_elements"])
-            out["html_bytes"].append(len(html) if html is not None else 0)
-        yield pd.DataFrame(out, columns=_COLS)
+            if status is not None:
+                status.append(r["status"])
+            if w_title:
+                kernel_lists["title"].append(r["title"])
+            if w_text:
+                kernel_lists["text"].append(r["text"])
+            if w_main:
+                kernel_lists["main_text"].append(r["main_text"])
+            if w_spans:
+                kernel_lists["spans"].append(
+                    [{"node_id": a, "start": b, "end": c}
+                     for a, b, c in r["spans"]])
+            if w_errmap or w_nerr:
+                errors = {k: int(v) for k, v in r["errors"].items()}
+                if w_errmap:
+                    kernel_lists["errors"].append(errors)
+                if w_nerr:
+                    kernel_lists["n_errors"].append(sum(errors.values()))
+            if w_nodes:
+                kernel_lists["n_nodes"].append(r["n_nodes"])
+            if w_elems:
+                kernel_lists["n_elements"].append(r["n_elements"])
+            if w_bytes:
+                kernel_lists["html_bytes"].append(
+                    len(html) if html is not None else 0)
+        out.update(kernel_lists)
+        yield pd.DataFrame(out, columns=cols)
 
 
 def parse_batch_with_dom(batches: Iterator[pd.DataFrame]

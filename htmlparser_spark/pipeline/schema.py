@@ -19,12 +19,16 @@ SPAN_TYPE = StructType([
     StructField("end", IntegerType()),
 ])
 
-# Kernel stage (S5) output
+# Kernel stage (S5) output. content_hash is a PASSTHROUGH column (like
+# part_key): the job computes xxhash64(html) JVM-side before the kernel so
+# the post-parse dedup window can tiebreak equal-warc_ts snapshots on raw
+# content without the raw html ever crossing an exchange.
 PARSED_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("warc_ts", TimestampType()),
     StructField("lang", StringType()),
     StructField("part_key", LongType()),
+    StructField("content_hash", LongType()),
     StructField("status", StringType()),
     StructField("title", StringType()),
     StructField("text", StringType()),
