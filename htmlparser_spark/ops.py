@@ -350,13 +350,41 @@ def _cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(dot / (na * nb))
 
 
-def embedding_topk(spark, sf_dir, k=3, n_queries=5):
-    """Brute-force cosine top-k: the exactness baseline. Queries (a small
-    fixed set) are broadcast; the corpus side never shuffles."""
-    emb = (_t(spark, sf_dir, "embeddings")
-           .select("vec_id", F.transform("embedding",
-                                         lambda x: x.cast("double")).alias("v")))
-    q = (emb.filter(F.col("vec_id") < n_queries)
+def _emb(spark, sf_dir):
+    return (_t(spark, sf_dir, "embeddings")
+            .select("vec_id", F.transform("embedding",
+                                          lambda x: x.cast("double")).alias("v")))
+
+
+N_CLUSTER_BLOBS = 8
+CLUSTER_SCALE = 3.0
+
+
+def _emb_clustered(spark, sf_dir):
+    """Mixture-of-shifted-blobs distribution DERIVED deterministically from
+    the embeddings table: vector i is pulled toward blob center i % 8
+    (center = CLUSTER_SCALE × the embedding of vec_id i % 8). md5-uniform
+    vectors are the easy case for IVF recall tuning — near-neighbors are
+    spread evenly — so this clustered set gives probe-count tuning a
+    non-trivial signal. SQL-expressible (an equi-join + elementwise
+    combine), so the DuckDB oracle reproduces it exactly."""
+    raw = _emb(spark, sf_dir)
+    base = (raw.filter(F.col("vec_id") < N_CLUSTER_BLOBS)
+            .select(F.col("vec_id").alias("c"), F.col("v").alias("bv")))
+    return (raw.withColumn("c", F.pmod("vec_id", F.lit(N_CLUSTER_BLOBS)))
+            .join(F.broadcast(base), "c")
+            .select("vec_id",
+                    F.zip_with("bv", "v",
+                               lambda x, y: F.lit(CLUSTER_SCALE) * x + y)
+                    .alias("v")))
+
+
+def _exact_topk(emb, k, n_queries, q_lo=0):
+    """Brute-force cosine top-k over an embedding DataFrame: the exactness
+    baseline. Queries (a small fixed set) are broadcast; the corpus side
+    never shuffles."""
+    q = (emb.filter((F.col("vec_id") >= q_lo)
+                    & (F.col("vec_id") < q_lo + n_queries))
          .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
     scored = (emb.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("query_id"))
@@ -367,6 +395,10 @@ def embedding_topk(spark, sf_dir, k=3, n_queries=5):
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "rank",
                     F.round("cos", 4).alias("cos_r")))
+
+
+def embedding_topk(spark, sf_dir, k=3, n_queries=5):
+    return _exact_topk(_emb(spark, sf_dir), k, n_queries)
 
 
 def embedding_ann_lsh(spark, sf_dir, k=3, n_queries=5, n_planes=8):
@@ -474,33 +506,31 @@ def _ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     return emb.mapInPandas(assign, "vec_id bigint, v array<double>, cell bigint")
 
 
-def embedding_ann_ivf(spark, sf_dir, k=3, n_queries=5):
-    """IVF-style ANN: the corpus is inverted into ~√n cells
-    (nearest-centroid assignment); a query scans only its N_IVF_PROBES
-    closest cells. Centroids are the vectors with vec_id < n_centroids —
-    deterministic, so the DuckDB oracle reproduces the exact result (unlike
-    sign-LSH whose recall depends on plane draws). At 100 TB the assignment
-    is one broadcast-join pass + a map-side-combined groupBy and each query
-    touches ~probes/cells of the corpus; cells are the shuffle key."""
-    emb = (_t(spark, sf_dir, "embeddings")
-           .select("vec_id", F.transform("embedding",
-                                         lambda x: x.cast("double")).alias("v")))
-    n_cent = _ivf_n_centroids(_emb_count(spark, sf_dir))
+def _ivf_topk(emb, n_cent, k, n_queries, q_lo=0, probes=None):
+    """IVF-style ANN over an embedding DataFrame: the corpus is inverted
+    into ~√n cells (nearest-centroid assignment); a query scans only its
+    N_IVF_PROBES closest cells. Centroids are the vectors with vec_id <
+    n_cent — deterministic, so the DuckDB oracle reproduces the exact
+    result (unlike sign-LSH whose recall depends on plane draws). At 100 TB
+    the assignment is one map-side numpy pass and each query touches
+    ~probes/cells of the corpus; cells are the shuffle key."""
+    probes = N_IVF_PROBES if probes is None else probes
     cents = (emb.filter(F.col("vec_id") < n_cent)
              .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")))
     assigned = _ivf_assign(emb, cents)
-    # per-query probe cells = its N_IVF_PROBES nearest centroids
-    q = (emb.filter(F.col("vec_id") < n_queries)
+    # per-query probe cells = its `probes` nearest centroids
+    q = (emb.filter((F.col("vec_id") >= q_lo)
+                    & (F.col("vec_id") < q_lo + n_queries))
          .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
     qc = q.crossJoin(F.broadcast(cents)) \
         .withColumn("cos_c", _cosine(F.col("qv"), F.col("cv")))
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("cos_c").desc(), F.col("cent_id").asc())
-    probes = (qc.withColumn("rn", F.row_number().over(w_probe))
-              .filter(F.col("rn") <= N_IVF_PROBES)
-              .select("query_id", "qv", F.col("cent_id").alias("cell")))
+    probe_cells = (qc.withColumn("rn", F.row_number().over(w_probe))
+                   .filter(F.col("rn") <= probes)
+                   .select("query_id", "qv", F.col("cent_id").alias("cell")))
     # search only the probed cells
-    cand = (assigned.join(F.broadcast(probes), "cell")
+    cand = (assigned.join(F.broadcast(probe_cells), "cell")
             .filter(F.col("vec_id") != F.col("query_id"))
             .withColumn("cos", _cosine(F.col("qv"), F.col("v"))))
     w = Window.partitionBy("query_id").orderBy(
@@ -511,16 +541,14 @@ def embedding_ann_ivf(spark, sf_dir, k=3, n_queries=5):
                     F.round("cos", 4).alias("cos_r")))
 
 
-def embedding_ann_recall(spark, sf_dir, k=3, n_queries=5):
-    """Recall@k of the IVF index against the brute-force exact baseline —
-    the evaluation query an ANN deployment runs before trusting the
-    approximate path. Both sides are the operators' own plans; the result
-    is per-query |approx ∩ exact| / k. Deterministic (both operators
-    are), so the oracle reproduces it exactly."""
-    exact = embedding_topk(spark, sf_dir, k=k, n_queries=n_queries) \
-        .select("query_id", "vec_id")
-    approx = embedding_ann_ivf(spark, sf_dir, k=k, n_queries=n_queries) \
-        .select("query_id", "vec_id")
+def embedding_ann_ivf(spark, sf_dir, k=3, n_queries=5):
+    return _ivf_topk(_emb(spark, sf_dir),
+                     _ivf_n_centroids(_emb_count(spark, sf_dir)), k, n_queries)
+
+
+def _recall_at_k(exact_df, approx_df):
+    exact = exact_df.select("query_id", "vec_id")
+    approx = approx_df.select("query_id", "vec_id")
     hits = (exact.join(approx, ["query_id", "vec_id"])
             .groupBy("query_id").agg(F.count("*").alias("n_hits")))
     base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
@@ -528,6 +556,60 @@ def embedding_ann_recall(spark, sf_dir, k=3, n_queries=5):
             .select("query_id",
                     F.round(F.coalesce(F.col("n_hits"), F.lit(0))
                             / F.col("n_exact"), 4).alias("recall")))
+
+
+def embedding_ann_recall(spark, sf_dir, k=3, n_queries=5):
+    """Recall@k of the IVF index against the brute-force exact baseline —
+    the evaluation query an ANN deployment runs before trusting the
+    approximate path. Both sides are the operators' own plans; the result
+    is per-query |approx ∩ exact| / k. Deterministic (both operators
+    are), so the oracle reproduces it exactly."""
+    return _recall_at_k(
+        embedding_topk(spark, sf_dir, k=k, n_queries=n_queries),
+        embedding_ann_ivf(spark, sf_dir, k=k, n_queries=n_queries))
+
+
+SWEEP_Q_LO = 200  # probe-sweep queries sit OUTSIDE the codebook (n_cent < 200
+                  # at test scales): a query that IS a centroid traps its
+                  # neighbors in its own cell and recall reads ~1 regardless
+                  # of probes — measured and rejected as a tuning signal
+SWEEP_PROBES = (1, 2, 3)
+
+
+def embedding_ann_probe_sweep(spark, sf_dir, k=3, n_queries=5):
+    """The probe-tuning table an IVF deployment reads before fixing nprobe:
+    recall@k of the IVF index vs the exact baseline, swept over probe
+    budgets AND over two query distributions — the md5-uniform embeddings
+    and the mixture-of-shifted-blobs set (_emb_clustered). Measured shape
+    this pins: uniform recall climbs steeply with probes (neighbors spread
+    across many cells), while on the clustered set cells align with blobs
+    and one probe already captures the blob's neighbors — i.e. nprobe
+    requirements are distribution-dependent, which is exactly why the sweep
+    must be run per-corpus. Hits are INTEGER counts (recall = hits / (k ×
+    n_queries)), so the oracle compare is exact, no float-average drift."""
+    n_cent = _ivf_n_centroids(_emb_count(spark, sf_dir))
+    total = float(k * n_queries)
+    parts = []
+    for dist, emb in (("uniform", _emb(spark, sf_dir)),
+                      ("clustered", _emb_clustered(spark, sf_dir))):
+        exact = _exact_topk(emb, k, n_queries, q_lo=SWEEP_Q_LO) \
+            .select("query_id", "vec_id")
+        for probes in SWEEP_PROBES:
+            approx = _ivf_topk(emb, n_cent, k, n_queries,
+                               q_lo=SWEEP_Q_LO, probes=probes) \
+                .select("query_id", "vec_id")
+            parts.append(
+                exact.join(approx, ["query_id", "vec_id"])
+                .agg(F.count("*").alias("n_hits"))
+                .select(F.lit(dist).alias("dist"),
+                        F.lit(probes).alias("probes"),
+                        F.col("n_hits"),
+                        F.round(F.col("n_hits") / F.lit(total), 4)
+                        .alias("recall")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def dedup_embedding_cosine(spark, sf_dir, threshold=0.40):
