@@ -20,9 +20,11 @@ OK = "ok"
 # document the per-char machine COMPLETES, it spends < 64 steps per input
 # unit + 4096 (every state consumes or reconsumes; a reconsume chain between
 # two consumes is bounded by the state-graph diameter, far below 64), so
-# slow mode cannot budget-trip on a document fast mode finishes. The 40k-case
-# fast/slow differential (tests/test_differential.py) pins this empirically:
-# a slow-mode-only budget trip would show up as a status mismatch.
+# slow mode cannot budget-trip on a document fast mode finishes. The
+# fast/slow differential (tests/test_differential.py: ~1.3k cases per suite
+# run at the default seeds, scalable via SPARK_GRAFT_DIFF_SEEDS; a 200k-case
+# run was held clean before each round) pins this empirically: a
+# slow-mode-only budget trip would show up as a status mismatch.
 _BUDGET_CODES = frozenset({"err:tokenizer-loop", "err:reprocess-limit"})
 
 

@@ -161,6 +161,23 @@ def _shingles(df, n=3):
 
 
 _CKPT_SEQ = itertools.count()
+_CKPT_PATHS: list[str] = []
+
+
+def cleanup_checkpoints() -> int:
+    """Delete every parquet checkpoint _materialized has written in this
+    process and return how many were removed. Call it once the DataFrames
+    returned by the dedup operators have been fully consumed — they lazily
+    re-scan these paths, so cleaning up mid-query breaks them. A long-lived
+    application that never calls this (or doesn't put SPARK_GRAFT_CKPT_DIR
+    on storage with an external TTL) accumulates checkpoints without
+    bound."""
+    import shutil
+    n = 0
+    while _CKPT_PATHS:
+        shutil.rmtree(_CKPT_PATHS.pop(), ignore_errors=True)
+        n += 1
+    return n
 
 
 def _materialized(df: DataFrame, name: str) -> DataFrame:
@@ -177,6 +194,7 @@ def _materialized(df: DataFrame, name: str) -> DataFrame:
         path = os.path.join(ckpt_dir,
                             f"{name}-{os.getpid()}-{next(_CKPT_SEQ)}")
         df.write.mode("overwrite").parquet(path)
+        _CKPT_PATHS.append(path)  # reclaimed by cleanup_checkpoints()
         return df.sparkSession.read.parquet(path)
     df = df.cache()
     # eager fill: a lazy cache is raced by the first job's parallel

@@ -82,6 +82,20 @@ def read_pages(spark: SparkSession, path: str, lang: str | None = None
 
 _TABLE_IDENT_RE = re.compile(r"^\w+(\.\w+)+$")
 
+# AnalysisException error classes that mean "this name cannot denote a table
+# in THIS session's catalog" (identifier shape / catalog capability), probed
+# empirically: tableExists('a.b.c') raises REQUIRES_SINGLE_PART_NAMESPACE on
+# a session without a 3-part-capable catalog. Anything outside this set
+# (metastore outage, permissions) must PROPAGATE — rerouting a real table
+# name to the parquet branch during a catalog outage fails later with a
+# misleading path-not-found.
+_IDENT_ERROR_CLASSES = frozenset({
+    "REQUIRES_SINGLE_PART_NAMESPACE",
+    "INVALID_IDENTIFIER",
+    "IDENTIFIER_TOO_MANY_NAME_PARTS",
+    "PARSE_SYNTAX_ERROR",
+})
+
 
 def _is_table_identifier(path: str, spark: SparkSession | None = None) -> bool:
     """catalog.db.table vs filesystem path. Shape alone is ambiguous — a
@@ -96,11 +110,14 @@ def _is_table_identifier(path: str, spark: SparkSession | None = None) -> bool:
         return True
     try:
         return spark.catalog.tableExists(path)
-    except (AnalysisException, ParseException):
-        # malformed-identifier shapes route to the filesystem branch;
-        # infra errors (metastore outage etc.) must PROPAGATE, not silently
-        # reroute a real table name to a parquet path
-        return False
+    except ParseException:
+        return False  # malformed identifier -> filesystem branch
+    except AnalysisException as e:
+        get_cls = getattr(e, "getErrorClass", None)
+        cls = (get_cls() or "") if get_cls else ""
+        if cls in _IDENT_ERROR_CLASSES:
+            return False
+        raise  # infra errors (metastore outage etc.) must propagate
 
 
 def write_parsed_table(parsed: DataFrame, table: str,

@@ -135,8 +135,10 @@ def host_rollup_stream(parsed: DataFrame) -> DataFrame:
     """Stateful per-host rollup (applyInPandasWithState). Emits the updated
     running totals for every host seen in each micro-batch."""
     # no trailing '/' required: 'https://host.example' (no path) must still
-    # yield its host, not collapse into the '' state group
-    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    # yield its host, not collapse into the '' state group; scheme match is
+    # case-insensitive (RFC 3986 §3.1 — 'HTTPS://x' is a valid URL and must
+    # not collapse into the '' group either)
+    host = F.regexp_extract("url", r"^(?i)[a-z][a-z0-9+.-]*://([^/]+)", 1)
     return (parsed
             .withColumn("host", host)
             .groupBy("host")

@@ -5,6 +5,7 @@ biased toward constructs the kernel supports, plus targeted mutations that
 hit error rows; every document must produce identical (status, dom_s, text,
 main_text, spans, errors) in both modes.
 """
+import os
 import random
 
 import pytest
@@ -79,7 +80,12 @@ def assert_equal_modes(html):
         assert fast[f] == slow[f], (f, html)
 
 
-@pytest.mark.parametrize("seed", range(40))
+# default: 40 seeds x 25 docs per suite run; set SPARK_GRAFT_DIFF_SEEDS for
+# the big pre-round sweeps (e.g. 8000 -> 200k docs)
+N_DIFF_SEEDS = int(os.environ.get("SPARK_GRAFT_DIFF_SEEDS", "40"))
+
+
+@pytest.mark.parametrize("seed", range(N_DIFF_SEEDS))
 def test_differential_random(seed):
     rng = random.Random(seed)
     for _ in range(25):

@@ -380,3 +380,35 @@ def test_cr_is_space_class_token():
     r = parse_html("<html><head>\r<body>x")
     assert r["status"] == "ok"
     assert "\r" in r["text"]
+
+
+def test_attrs_memo_never_mutated_across_parses():
+    """_ATTRS_MEMO shares ONE parsed attribute list across every Tag (and
+    Element, via tag.finished) carrying the same attribute string. That is
+    only sound while nothing on the parse path mutates element attributes;
+    this pins the invariant so a future feature (e.g. spec-style duplicate
+    <html> attribute merging) that starts mutating them fails loudly here
+    instead of silently corrupting unrelated documents."""
+    import copy
+
+    from htmlparser_spark.kernel import tokenizer as tk
+
+    doc_a = (b'<html><body><div class="nav" id="x">one</div>'
+             b'<div class="nav" id="x">two</div></body></html>')
+    doc_b = (b'<html attr="h"><body><div class="nav" id="x">other</div>'
+             b'<p class="nav">p</p></body></html>')
+
+    tk._ATTRS_MEMO.clear()
+    baseline_b = parse_html(doc_b, fast=True, extract=True)
+    tk._ATTRS_MEMO.clear()
+
+    first_a = parse_html(doc_a, fast=True, extract=True)
+    snapshot = copy.deepcopy(tk._ATTRS_MEMO)
+    assert snapshot  # the fast path actually memoized something
+    # parses that REUSE the memoized lists must leave them byte-identical
+    assert parse_html(doc_a, fast=True, extract=True) == first_a
+    warm_b = parse_html(doc_b, fast=True, extract=True)
+    assert warm_b == baseline_b  # warm-memo result == cold-memo result
+    assert tk._ATTRS_MEMO.keys() >= snapshot.keys()
+    for k, v in snapshot.items():
+        assert tk._ATTRS_MEMO[k] == v, f"memo entry mutated for {k!r}"

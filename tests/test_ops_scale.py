@@ -54,6 +54,11 @@ def test_minhash_ckpt_dir_writes_parquet_and_matches(spark, tmp_path,
     # paths carry a per-invocation unique suffix (clobber protection)
     assert any(d.startswith("minhash_shingle_arrays-") for d in written)
     assert any(d.startswith("minhash_sig-") for d in written)
+    # once results are consumed, cleanup_checkpoints reclaims the storage
+    # (unbounded accumulation otherwise — each invocation writes new paths)
+    assert ops.cleanup_checkpoints() == len(written)
+    assert os.listdir(ckpt) == []
+    assert ops.cleanup_checkpoints() == 0  # idempotent
 
 
 def test_ivf_codebook_scales_with_corpus(spark, tmp_path):
