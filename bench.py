@@ -222,9 +222,11 @@ task instructions ("e.g. local[8] and local[32], or N and 4N cores").
 Job: parse+extract of {rep['levels'][str(levels[0])]['pages']} deterministic
 synthetic Common-Crawl-style pages
 ({rep['levels'][str(levels[0])]['bytes'] / 1e6:.0f} MB raw HTML, seed={SEED},
-htmlparser_spark/synth.py, pre-written to parquet) through the full pipeline:
-scan -> url-hash repartition + size-tier skew salting -> mapInPandas Arrow
-kernel -> output aggregation. Corpus generation and Python-worker warm-up are
+htmlparser_spark/synth.py, pre-written to parquet) through the round-3
+pipeline kernel stage: scan -> MAP-ONLY mapInPandas Arrow kernel -> output
+aggregation (raw html never crosses an exchange; the parquet splitter's
+byte-balanced bin-packing is the load balancing — see docs/PLANS.md §1).
+Corpus generation and Python-worker warm-up are
 excluded from the timed window; each level runs in a fresh JVM pinned with
 `taskset -c 0-(N-1)` so local[N] cannot borrow idle cores for its JVM/worker
 threads; every number is best-of-6 (the sandbox VM shares a contended host —
@@ -253,15 +255,18 @@ N -> 4N *executors* multiplies memory bandwidth, shuffle disks, and NICs
 by 4x as well, which is exactly what the (2,8) pair emulates here (2 and 8
 cores both run far below the box's contention ceiling, so only
 coordination overhead is measured — and it is small). The per-page work is
-embarrassingly parallel: no cross-page state, partitioning explicit on
-xxhash64(url), huge pages salted across tasks, so executor-count scaling
-has no algorithmic barrier.
+embarrassingly parallel: no cross-page state, the stage is map-only over
+byte-balanced scan splits (parse cost is proportional to bytes), so
+executor-count scaling has no algorithmic barrier; the pipeline's single
+exchange carries only the parsed output, keyed on the deterministic
+part_key.
 
 Reference baseline: the reference repo publishes no benchmark of any kind
 (SURVEY.md §6) — it is a single-threaded C# console app that parses one
-file. Our single-thread Python kernel does ~2.4k pages/s (~13.7 MB/s,
-after the round-2 batched-tokenizer/arena work; was ~1.7k); the Spark
-stage reaches ~7k pages/s (~40 MB/s) on this shared box.
+file. Our single-thread Python kernel does ~2.4k pages/s (~13.7 MB/s); the
+Spark stage reaches ~14k pages/s (~82 MB/s) at local[32] on this shared box
+after the round-3 map-only restructure (was ~11.4k with the pre-parse
+shuffle).
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
