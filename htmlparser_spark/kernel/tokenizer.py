@@ -220,9 +220,17 @@ class Token:
 # characters whose per-char handling is "append/emit verbatim, no error, no
 # state change" — so batching is observationally identical.
 _RX_DATA = re.compile(r"[^&<\x00]+")        # HTMLTokenizer.cs:23-38
-_RX_RCDATA = re.compile(r"[^&<\x00]+")      # :39-54
-_RX_RAWTEXT = re.compile(r"[^<\x00]+")      # :55-67
-_RX_SCRIPT = re.compile(r"[^<\x00]+")       # :68-80
+# Raw-text runs may swallow a '<' that provably does NOT open an end tag
+# (or, in ScriptData, an escape start): the per-char walk for that '<' is
+# LT-state → anything-else → emit '<' with no error and return to the text
+# state, i.e. it contributes exactly its own character to the run. The
+# lookahead is POSITIVE ((?=[^/])): at end-of-input it fails, so a trailing
+# '<' still falls to the machine for its reconsume-at-EOF walk. Script-heavy
+# pages ('a < b', 'i<n') previously paid one machine entry + one singleton
+# token per comparison operator.
+_RX_RCDATA = re.compile(r"(?:[^&<\x00]|<(?=[^/]))+")   # :39-54
+_RX_RAWTEXT = re.compile(r"(?:[^<\x00]|<(?=[^/]))+")   # :55-67
+_RX_SCRIPT = re.compile(r"(?:[^<\x00]|<(?=[^/!]))+")   # :68-80
 _RX_PLAINTEXT = re.compile(r"[^\x00]+")     # :81-91
 _RX_SD_ESCAPED = re.compile(r"[^-<\x00]+")  # :375-391 (also double-escaped :519-536)
 _RX_TAG_NAME = re.compile(r"[^\t\n\x0c/>\x00A-Z ]+")  # :134-158
@@ -629,15 +637,8 @@ class Tokenizer:
                     if self._match_appropriate_end_tag(inp):
                         continue
                     cur = self._cursor
-                    # '<' not opening an end tag: the machine walks
-                    # RCDATA→RCDATA_LT→anything-else, emitting "<" with no
-                    # error and returning to RCDATA ('<'+EOF falls through:
-                    # its reconsume-at-EOF path must stay per-char)
-                    if (cur + 1 < self._n and inp[cur] == "<"
-                            and inp[cur + 1] != "/"):
-                        self._cursor = cur + 1
-                        self._emit_chars("<")
-                        continue
+                    # (benign '<' runs are consumed by _RX_RCDATA above;
+                    # reaching here means '</', '&', NUL, or EOF at cursor)
                     # ;-terminated named charref in RCDATA flushes via
                     # _emit_chars exactly like the Data-state walk
                     if cur < self._n and inp[cur] == "&":
@@ -669,13 +670,6 @@ class Tokenizer:
                         continue
                     if self._match_appropriate_end_tag(inp):
                         continue
-                    cur = self._cursor
-                    # same "<"-emitting anything-else walk as RCDATA_LT
-                    if (cur + 1 < self._n and inp[cur] == "<"
-                            and inp[cur + 1] != "/"):
-                        self._cursor = cur + 1
-                        self._emit_chars("<")
-                        continue
                 self._consume()
                 c = self._cur
                 if c == "<":
@@ -695,14 +689,6 @@ class Tokenizer:
                         self._emit_chars(m.group())
                         continue
                     if self._match_appropriate_end_tag(inp):
-                        continue
-                    cur = self._cursor
-                    # '<' opening neither an end tag nor '<!' escape start:
-                    # ScriptData→SD_LT→anything-else emits "<", no error
-                    if (cur + 1 < self._n and inp[cur] == "<"
-                            and inp[cur + 1] != "/" and inp[cur + 1] != "!"):
-                        self._cursor = cur + 1
-                        self._emit_chars("<")
                         continue
                 self._consume()
                 c = self._cur
