@@ -263,10 +263,13 @@ part_key.
 
 Reference baseline: the reference repo publishes no benchmark of any kind
 (SURVEY.md §6) — it is a single-threaded C# console app that parses one
-file. Our single-thread Python kernel does ~2.4k pages/s (~13.7 MB/s); the
-Spark stage reaches ~14k pages/s (~82 MB/s) at local[32] on this shared box
-after the round-3 map-only restructure (was ~11.4k with the pre-parse
-shuffle).
+file. Our single-thread Python kernel does ~2.7k pages/s (~15 MB/s); the
+Spark stage reached
+{max(lv['pages_per_sec'] for lv in rep['levels'].values()):.0f} pages/s
+({max(lv['mb_per_sec'] for lv in rep['levels'].values()):.0f} MB/s) at its
+best level IN THIS RUN's contention window (separate quiet-host local[32]
+measurements of the same stage reach ~14k pages/s / ~82 MB/s after the
+round-3 map-only restructure; ~11.4k with the round-2 pre-parse shuffle).
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)

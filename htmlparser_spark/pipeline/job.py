@@ -88,7 +88,11 @@ _TABLE_IDENT_RE = re.compile(r"^\w+(\.\w+)+$")
 # a session without a 3-part-capable catalog. Anything outside this set
 # (metastore outage, permissions) must PROPAGATE — rerouting a real table
 # name to the parquet branch during a catalog outage fails later with a
-# misleading path-not-found.
+# misleading path-not-found. Deliberate tradeoff: a catalog raising an
+# UNLISTED/absent error class for a dotted *path* name (e.g. a legacy
+# _LEGACY_ERROR_TEMP_* class from an older Spark or third-party catalog)
+# now propagates loudly instead of silently falling back — extend this set
+# per-deployment rather than widening the catch.
 _IDENT_ERROR_CLASSES = frozenset({
     "REQUIRES_SINGLE_PART_NAMESPACE",
     "INVALID_IDENTIFIER",
@@ -223,14 +227,22 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
     if isinstance(src, str):
         df = read_pages(spark, src, lang=lang)
     else:
-        missing = [c for c in KERNEL_INPUT_COLS if c not in src.columns]
+        # url/warc_ts/html are hard requirements; a missing lang column is
+        # defaulted to "" (parse_batch does the same), unless a lang FILTER
+        # was requested, which cannot be satisfied without the column.
+        # Fail here, with the real cause, rather than deep inside the Arrow
+        # kernel stage where a missing column surfaces as an opaque
+        # KeyError from a Python worker.
+        required = [c for c in KERNEL_INPUT_COLS if c != "lang"]
+        if lang:
+            required.append("lang")
+        missing = [c for c in required if c not in src.columns]
         if missing:
-            # fail here, with the real cause, rather than deep inside the
-            # Arrow kernel stage where a missing column surfaces as an
-            # opaque KeyError from a Python worker
             raise ValueError(
                 f"input DataFrame is missing kernel column(s) {missing}; "
-                f"the kernel stage requires {list(KERNEL_INPUT_COLS)}")
+                f"the kernel stage requires {required}")
+        if "lang" not in src.columns:
+            src = src.withColumn("lang", F.lit(""))
         df = src.select(*KERNEL_INPUT_COLS)
         if lang:
             df = df.filter(F.col("lang") == lang)

@@ -137,8 +137,11 @@ def host_rollup_stream(parsed: DataFrame) -> DataFrame:
     # no trailing '/' required: 'https://host.example' (no path) must still
     # yield its host, not collapse into the '' state group; scheme match is
     # case-insensitive (RFC 3986 §3.1 — 'HTTPS://x' is a valid URL and must
-    # not collapse into the '' group either)
-    host = F.regexp_extract("url", r"^(?i)[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    # not collapse into the '' group either), and the extracted host is
+    # lowercased (§3.2.2: host comparison is case-insensitive) so
+    # 'Example.com' and 'example.com' share one state group
+    host = F.lower(
+        F.regexp_extract("url", r"^(?i)[a-z][a-z0-9+.-]*://([^/]+)", 1))
     return (parsed
             .withColumn("host", host)
             .groupBy("host")

@@ -238,6 +238,26 @@ def test_missing_kernel_columns_fail_fast(spark, corpus, tmp_path):
         run_pipeline(spark, bad, str(tmp_path / "out"))
 
 
+def test_parse_pages_output_column_pruning(spark, corpus):
+    """parse_pages(columns=...) must yield exactly the requested columns (in
+    canonical schema order) with values identical to the full-schema run —
+    the manual mapInPandas equivalent of Catalyst column pruning."""
+    from htmlparser_spark.pipeline.job import parse_pages
+    from htmlparser_spark.pipeline.kernel_stage import parsed_schema
+
+    small = corpus.limit(40)
+    cols = ("main_text", "status", "url", "html_bytes")  # order ≠ canonical
+    pruned = parse_pages(small, columns=cols)
+    assert [f.name for f in pruned.schema.fields] == \
+        ["url", "status", "main_text", "html_bytes"]
+    full = parse_pages(small).select("url", "status", "main_text",
+                                     "html_bytes")
+    assert sorted(map(tuple, pruned.collect())) == \
+        sorted(map(tuple, full.collect()))
+    with pytest.raises(ValueError, match="unknown parsed columns"):
+        parsed_schema(("status", "nope"))
+
+
 def test_rerun_is_noop(spark, corpus, tmp_path):
     out = str(tmp_path / "out")
     m1 = run_pipeline(spark, corpus, out, num_partitions=4)
