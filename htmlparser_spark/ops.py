@@ -714,6 +714,86 @@ def supplier_nation_rank(spark, sf_dir):
             .select("n_name", "s_suppkey", "s_name", "revenue_cents", "rank"))
 
 
+# --- event-stream relational ops ----------------------------------------------------
+
+SESSION_GAP_US = 1800 * 1_000_000  # 30-minute inactivity gap, exact microseconds
+
+
+def events_sessionize(spark, sf_dir):
+    """Sessionization — the classic clickstream/training-telemetry op: split
+    each user's event stream into sessions at >30-min inactivity gaps and
+    aggregate per session. Scale shape: ONE shuffle keyed on user_id; the
+    lag window, the running-sum session numbering, and the final
+    (user_id, session_id) aggregate all reuse that same hash partitioning
+    (group keys ⊇ the window partition key), so no second exchange. Gap and
+    duration arithmetic is exact integer MICROSECONDS (unix_micros /
+    DuckDB epoch_us) — events carry sub-second timestamps, and float
+    epoch seconds would not compare identically across engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    # parquet yields TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the cast
+    # shifts all values by one constant (session tz), which cancels in the
+    # gap/duration DIFFERENCES this op computes
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | (us - prev_us > SESSION_GAP_US), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (ev.withColumn("_new", new_sess)
+            .withColumn("session_id", F.sum("_new").over(run)))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("start_ts"),
+                 F.max("ts").alias("end_ts"),
+                 (F.unix_micros(F.max("ts").cast("timestamp"))
+                  - F.unix_micros(F.min("ts").cast("timestamp")))
+                 .alias("duration_us"),
+                 F.countDistinct("event_type").alias("n_event_types")))
+
+
+def asof_join_latest_order(spark, sf_dir):
+    """As-of join (point-in-time correctness): each event is matched to the
+    LATEST order of the same customer at-or-before the event timestamp —
+    the lookup every feature-backfill pipeline needs, and an operator Spark
+    lacks natively. Scale shape: the union-sort trick — tag both streams,
+    union, ONE shuffle keyed on the join key, and a running
+    last(order, ignorenulls) window carries the most recent order forward
+    into each event row. Never a per-event range join or an n×m candidate
+    blowup; cost is sort + linear scan per key, exactly how kdb/QuestDB
+    execute asof. Tie handling is deterministic WITHOUT a pre-dedup
+    aggregate (which would cost a second exchange): at equal timestamps
+    orders sort BEFORE events (as-of is inclusive) and among themselves by
+    ascending o_orderkey, so the running last() picks the MAX o_orderkey —
+    matching the DuckDB oracle, whose right side is deduped to max
+    o_orderkey per (custkey, ts) because native ASOF JOIN leaves
+    equal-key ties unspecified. The whole op is ONE exchange
+    (plan-verified)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey")
+    left = ev.select(
+        F.col("user_id").alias("k"), F.col("ts"),
+        F.lit(1).alias("is_ev"), F.col("event_id"),
+        F.lit(None).cast(
+            "struct<o_orderkey:bigint,o_ts:timestamp_ntz>").alias("ord"))
+    right = orders.select(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("is_ev"), F.lit(None).cast("long").alias("event_id"),
+        F.struct(F.col("o_orderkey"),
+                 F.col("o_orderdate").alias("o_ts")).alias("ord"))
+    u = left.unionByName(right)
+    w = (Window.partitionBy("k")
+         .orderBy(F.col("ts").asc(), F.col("is_ev").asc(),
+                  F.col("ord.o_orderkey").asc_nulls_last())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = u.withColumn("last_ord", F.last("ord", ignorenulls=True).over(w))
+    return (matched.filter(F.col("is_ev") == 1)
+            .select("event_id", F.col("k").alias("user_id"), "ts",
+                    F.col("last_ord.o_orderkey").alias("last_orderkey"),
+                    F.col("last_ord.o_ts").alias("last_orderdate")))
+
+
 # --- text analysis ------------------------------------------------------------------
 
 STOPWORDS = {
