@@ -866,6 +866,84 @@ def corpus_quality_filter(spark, sf_dir):
             .select("doc_id", "n_words", "quality_score", "lang_pred"))
 
 
+TRAIN_PCT = 90
+
+
+def corpus_train_test_split(spark, sf_dir):
+    """Deterministic hash-based train/test split — the reproducibility
+    primitive every training pipeline needs: membership is a pure function
+    of doc_id (portable md5-derived hash mod 100), never of row order,
+    partitioning, or a sampling RNG, so re-runs, resumes, and other engines
+    (the DuckDB oracle) agree row-for-row. Pure map-side expression: no
+    shuffle at any scale."""
+    h = _portable_hash32(F.col("doc_id").cast("string"), F.lit("split"))
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.when(h % 100 < TRAIN_PCT, "train")
+                    .otherwise("test").alias("split")))
+
+
+def text_tfidf_top_terms(spark, sf_dir, k=3):
+    """TF-IDF top-k terms per document: tf = per-(doc, token) count, idf =
+    ln((N+1)/(df+1)), rank per doc. Scale shape: one (doc_id, token)
+    shuffle for tf with map-side partial counts; the document-frequency
+    table aggregates to |vocab| rows and is broadcast into the scoring join
+    (at 100 TB vocab sizes, AQE falls back to a token-keyed sort-merge
+    join — the shape stays an equi-join either way); the top-k window gets
+    the WindowGroupLimit rank pushdown."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar for the idf constant (table stats in prod)
+    tok = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+           .filter(F.col("token") != ""))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1))
+    scored = (tf.join(F.broadcast(df), "token")
+              .withColumn("tfidf", F.col("tf") * idf))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "token", "tf", "df", "rank",
+                    F.round("tfidf", 4).alias("tfidf_r")))
+
+
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing — the C4/CCNet-style redaction pass: replace emails
+    and phone numbers with typed placeholder tokens and count redactions.
+    The synthetic documents contain no PII, so deterministic PII is first
+    INJECTED as a function of doc_id (docs ≡0 mod 3 get an email, ≡0 mod 5
+    a phone) — the oracle recomputes the same injection, so the hash gate
+    verifies the actual regex behavior, not a zero-match no-op. Pure
+    map-side codegen expressions (regexp_replace / regexp_count): no
+    shuffle, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    email = F.concat(F.lit(" contact "),
+                     F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+                     F.lit("@example.com"))
+    phone = F.concat(F.lit(" call "),
+                     F.lpad(((F.col("doc_id") * 7) % 1000).cast("string"),
+                            3, "0"),
+                     F.lit("-555-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    raw = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, email).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, phone).otherwise(F.lit("")))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(raw, F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"))
+
+
 SPAN_WINDOW = 16  # words per span
 SPAN_STRIDE = 8   # words between span starts
 
