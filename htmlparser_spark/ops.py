@@ -129,19 +129,105 @@ def dedup_exact(spark, sf_dir):
                  F.count("*").alias("n_copies")))
 
 
+def _shingle_stage(df, minhash=False, simhash=False):
+    """Per-doc shingle stage as ONE mapInPandas pass: distinct word 3-gram
+    shingles, and optionally the 16 minhash minima and/or the 32-bit
+    simhash, all computed per document map-side — no explode, no groupBy,
+    no shuffle for any signature.
+
+    This replaced (round 3) the exploded md5/min-aggregate pipelines of
+    minhash and simhash: the zip_with shingle construction ran in Spark's
+    INTERPRETED higher-order-function evaluator (1.4 s alone at
+    sf0.1/local[32]), and the signature aggregates shuffled |shingles|
+    exploded rows — computing signatures where the strings already live
+    cuts dedup_minhash_lsh 4.8→1.7 s and dedup_simhash 2.3→0.7 s. It is
+    the right shape ONLY when fixed-width signatures come back to the JVM;
+    jaccard, which needs the shingle STRINGS for its equi-join, keeps the
+    _shingle_array expression (Arrow-shipping every string costs more than
+    the interpreted zip_with — measured 1.7x slower). hashlib md5 over the
+    same "band:shingle" strings is bit-identical to the JVM/DuckDB md5, so
+    every oracle is unchanged.
+
+    Shingle semantics are EXACTLY the old expression's (and the oracles'
+    `array_to_string(ws[i:i+2])` CTE): split on single spaces keeping
+    empties, trigram join (so runs of spaces survive inside shingles),
+    docs with < 3 words yield their words joined, first-occurrence
+    distinct, empty strings dropped."""
+    from hashlib import md5 as _md5
+
+    out_cols = "doc_id long, shs array<string>"
+    if minhash:
+        out_cols += ", mh array<long>"
+    if simhash:
+        out_cols += ", simhash long"
+
+    # the Python stage is CPU-bound per doc: a small corpus scan yields
+    # fewer splits than cores (sf0.1 documents = 1-4 parquet splits),
+    # leaving most workers idle. Fan out ONLY when under-partitioned —
+    # at 100 TB the scan already yields >> cores byte-balanced splits and
+    # this branch never shuffles the corpus.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+
+    def stage(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"].tolist(),
+                                    pdf["text"].tolist()):
+                ws = (text or "").split(" ")
+                n = len(ws)
+                tri = [" ".join(ws[i:i + 3]) for i in range(max(n - 2, 1))]
+                shs = [s for s in dict.fromkeys(tri) if s]
+                row = [doc_id, shs]
+                # docs with zero shingles get NULL signatures: the old
+                # exploded pipelines simply had no rows for them, and
+                # consumers must keep excluding them
+                if minhash:
+                    if shs:
+                        # int(hexdigest[8r:8r+8], 16) == big-endian u32 of
+                        # digest bytes [4r:4r+4] — raw digests concat into
+                        # one buffer, numpy does the slicing and the min
+                        digests = b"".join(
+                            _md5(b"%d:%s" % (b, s.encode())).digest()
+                            for s in shs for b in range(N_BANDS))
+                        arr = np.frombuffer(digests, dtype=">u4") \
+                            .reshape(len(shs), N_MINHASH)
+                        row.append([int(v) for v in arr.min(axis=0)])
+                    else:
+                        row.append(None)
+                if simhash:
+                    if shs:
+                        nsh = len(shs)
+                        hs = np.frombuffer(
+                            b"".join(_md5(b"0:" + s.encode()).digest()[:4]
+                                     for s in shs), dtype=">u4")
+                        ones = ((hs[:, None] >> np.arange(32)) & 1).sum(0)
+                        votes = (2 * ones - nsh > 0).astype(np.int64)
+                        row.append(int((votes << np.arange(32)).sum()))
+                    else:
+                        row.append(None)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[c.split()[0] for c in
+                                              out_cols.split(", ")])
+
+    return df.mapInPandas(stage, out_cols)
+
+
 def _shingle_array(df, n=3):
     """Distinct word 3-gram shingles per doc as ONE array column — a pure
-    map-side expression, no explode/shuffle.
+    map-side JVM expression, no explode/shuffle. Used where the consumer
+    needs the SHINGLE STRINGS downstream (jaccard's equi-join): measured
+    A/B at sf0.1/local[32], feeding jaccard from the Python _shingle_stage
+    is ~1.7x SLOWER than this expression (Arrow-shipping every shingle
+    string back to the JVM costs more than the interpreted zip_with saves)
+    — the Python stage only wins when the strings stay in Python and just
+    fixed-width SIGNATURES come back (minhash/simhash).
 
-    Built with zip_with over shifted array slices instead of
-    transform(i -> array_join(slice(words, i, 3))): the per-index
-    slice+join allocates a fresh sub-array per shingle in the interpreted
-    HOF evaluator, measured 4.4x slower (3.0s vs 0.7s for the sf0.1
-    shingle set at local[32]); zip_with does two bulk passes. zip_with
-    pads the shorter side with null and concat_ws skips nulls, so after
-    cutting to the first max(size-2, 1) entries the result is the exact
-    same shingle set (verified element-identical), including the short-doc
-    edge cases (docs with < 3 words yield their words joined)."""
+    zip_with pads the shorter side with null and concat_ws skips nulls, so
+    after cutting to the first max(size-2, 1) entries the result is the
+    exact shingle set, including the short-doc edge cases (docs with < 3
+    words yield their words joined)."""
     assert n == 3, "shingle construction is specialized to 3-grams"
     words = F.split("text", " ")
     w2 = F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))
@@ -273,38 +359,33 @@ def dedup_minhash_lsh(spark, sf_dir, threshold=0.5):
     unpivoted into (doc_id, band, sig) — a |docs|·4-row table. The
     exact-Jaccard verify joins the TINY candidate-pair set (broadcast)
     against the per-doc shingle ARRAYS and intersects map-side
-    (array_intersect) — no shuffle of the exploded shingle set."""
-    arr = _materialized(
-        _shingle_array(_t(spark, sf_dir, "documents").select("doc_id", "text")),
-        "minhash_shingle_arrays")
-    sh = arr.select("doc_id", F.explode("shs").alias("shingle"))
+    (array_intersect) — no shuffle of the exploded shingle set.
+
+    Round 3: shingles AND the 16 minima are computed per-doc in the numpy
+    shingle stage (_shingle_stage) — the old exploded-md5 + 16-column
+    min-aggregate pipeline (and its interpreted zip_with shingle build) is
+    gone, so signature construction is map-only with NO shuffle; one
+    materialized |docs|-row table feeds both the banding and the verify.
+    The hash math is unchanged (one md5 digest per BAND per shingle,
+    sliced into 4 independent 32-bit values), so the DuckDB oracle is
+    untouched. Docs with zero shingles carry mh=null and are excluded
+    from banding, exactly as the old explode path dropped them."""
     rows_per_band = N_MINHASH // N_BANDS
-    # one md5 digest per BAND per shingle, sliced into the band's 4
-    # independent 32-bit hash values (md5 bits are uniform, so digest
-    # slices are as independent as separate seeded hashes — standard
-    # minhash practice) — 4 md5 calls per shingle instead of 16, and the
-    # 128-bit digest is consumed exactly (4 × 8 hex chars)
-    md5s = [F.md5(F.concat_ws(":", F.lit(str(b)), F.col("shingle")))
-            .alias(f"m{b}") for b in range(N_BANDS)]
-    pre = sh.select("doc_id", *md5s)
-    mins = pre.groupBy("doc_id").agg(*[
-        F.min(F.conv(F.substring(F.col(f"m{k // rows_per_band}"),
-                                 1 + 8 * (k % rows_per_band), 8),
-                     16, 10).cast("long")).alias(f"mh{k}")
-        for k in range(N_MINHASH)])
-    sig = (mins.select("doc_id", F.explode(F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("-", *[F.col(f"mh{k}").cast("string")
-                               for k in range(rows_per_band * b,
-                                              rows_per_band * (b + 1))]
-                        ).alias("sig"))
-        for b in range(N_BANDS)])).alias("bs"))
-        .select("doc_id", "bs.band", "bs.sig"))
-    # materialize the tiny |docs|·4-row signature table: both sides of the
-    # self-join otherwise recompute the whole shingle→minhash lineage
-    # (measured 2.7s -> 0.4s for candidate generation at sf0.1)
-    sig = _materialized(sig, "minhash_sig")
+    st = _materialized(
+        _shingle_stage(_t(spark, sf_dir, "documents")
+                       .select("doc_id", "text"), minhash=True),
+        "minhash_shingle_stage")
+    arr = st.select("doc_id", "shs")
+    sig = (st.filter(F.size("shs") > 0)
+           .select("doc_id", F.explode(F.array(*[
+               F.struct(
+                   F.lit(b).alias("band"),
+                   F.concat_ws("-", *[F.col("mh")[k].cast("string")
+                                      for k in range(rows_per_band * b,
+                                                     rows_per_band * (b + 1))]
+                               ).alias("sig"))
+               for b in range(N_BANDS)])).alias("bs"))
+           .select("doc_id", "bs.band", "bs.sig"))
     a = sig.alias("a")
     b = sig.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -330,23 +411,17 @@ def dedup_minhash_lsh(spark, sf_dir, threshold=0.5):
 def dedup_simhash(spark, sf_dir):
     """32-bit SimHash per document (bit-majority over shingle hashes).
 
-    One groupBy with 32 codegen'd sum columns — NOT an explode to
-    |shingles|·32 bit rows: vote(bit) = 2·Σ bit_set − n, so per-bit set
-    counts (plus the shingle count) reconstruct every vote, and map-side
-    partial aggregation keeps the shuffle at |docs| rows."""
-    sh = _shingle_sets(spark, sf_dir)
-    h = sh.withColumn("h", _portable_hash32(F.col("shingle"), F.lit(0)))
-    ones = [F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1)))
-            .alias(f"b{b}") for b in range(32)]
-    votes = h.groupBy("doc_id").agg(F.count("*").alias("n"), *ones)
-    # bit set in the simhash iff vote > 0 iff 2*ones - n > 0
-    contrib = [F.when(F.col(f"b{b}") * 2 - F.col("n") > 0,
-                      F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-               for b in range(32)]
-    total = contrib[0]
-    for c in contrib[1:]:
-        total = total + c
-    return votes.select("doc_id", total.alias("simhash"))
+    Round 3: fully MAP-ONLY — the per-doc bit-vote and hash live inside
+    the numpy shingle stage, so there is no explode and no shuffle at all
+    (the round-2 version aggregated 32 codegen'd sum columns over exploded
+    shingle rows — already |docs|-row shuffle, now zero). The hash math
+    (int(md5('0:'+shingle)[:8],16), vote = 2·ones − n > 0) is unchanged,
+    so the DuckDB oracle is untouched; zero-shingle docs are excluded
+    exactly as the old explode dropped them."""
+    return (_shingle_stage(_t(spark, sf_dir, "documents")
+                           .select("doc_id", "text"), simhash=True)
+            .filter(F.col("simhash").isNotNull())
+            .select("doc_id", "simhash"))
 
 
 # --- similarity search over embeddings --------------------------------------------

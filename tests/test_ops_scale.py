@@ -51,9 +51,9 @@ def test_minhash_ckpt_dir_writes_parquet_and_matches(spark, tmp_path,
     ckpted = sorted(map(tuple, ops.dedup_minhash_lsh(spark, sf_dir).collect()))
     assert ckpted == base and base  # near-dup pair found both ways
     written = os.listdir(ckpt)
-    # paths carry a per-invocation unique suffix (clobber protection)
-    assert any(d.startswith("minhash_shingle_arrays-") for d in written)
-    assert any(d.startswith("minhash_sig-") for d in written)
+    # paths carry a per-invocation unique suffix (clobber protection);
+    # round 3: one materialized stage (shingles + signatures together)
+    assert any(d.startswith("minhash_shingle_stage-") for d in written)
     # once results are consumed, cleanup_checkpoints reclaims the storage
     # (unbounded accumulation otherwise — each invocation writes new paths)
     assert ops.cleanup_checkpoints() == len(written)
