@@ -869,6 +869,39 @@ def asof_join_latest_order(spark, sf_dir):
                     F.col("last_ord.o_ts").alias("last_orderdate")))
 
 
+def events_value_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles (p50/p90/p99) of event value per type —
+    the distribution profile a pipeline reads before picking filter
+    thresholds. Uses EXACT percentile (both engines implement the standard
+    linear interpolation at rank p·(n−1)) rather than approx_percentile,
+    whose sketch is engine-specific and could never hash-match an oracle.
+    One groupBy shuffle; at 100 TB swap to percentile_approx and drop the
+    oracle to rows-only — documented tradeoff."""
+    pcts = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (_t(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), pcts.alias("p"))
+            .select("event_type", "n",
+                    F.round(F.col("p")[0], 4).alias("p50"),
+                    F.round(F.col("p")[1], 4).alias("p90"),
+                    F.round(F.col("p")[2], 4).alias("p99")))
+
+
+def token_heavy_hitters(spark, sf_dir, k=20):
+    """Global top-k most frequent tokens — vocabulary head inspection.
+    Scale shape: map-side partial counts into the (token) aggregate, then
+    TakeOrderedAndProject computes the global top-k as per-partition
+    top-k + a k-row driver merge — never a single-partition sort of the
+    full vocabulary."""
+    counts = (_t(spark, sf_dir, "documents")
+              .select(F.explode(F.split("text", " ")).alias("token"))
+              .filter(F.col("token") != "")
+              .groupBy("token").agg(F.count("*").alias("n")))
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 # --- text analysis ------------------------------------------------------------------
 
 STOPWORDS = {
