@@ -131,19 +131,23 @@ def _host_rollup(key: Tuple[str], batches: Iterator[pd.DataFrame],
                         "batch_ts": [last_ts]})
 
 
+def host_expr():
+    """Host state-group key from a url. No trailing '/' required:
+    'https://host.example' (no path) must still yield its host, not
+    collapse into the '' state group; scheme match is case-insensitive
+    (RFC 3986 §3.1 — 'HTTPS://x' is a valid URL and must not collapse
+    into the '' group either), and the extracted host is lowercased
+    (§3.2.2: host comparison is case-insensitive) so 'Example.com' and
+    'example.com' share one state group."""
+    return F.lower(
+        F.regexp_extract("url", r"^(?i)[a-z][a-z0-9+.-]*://([^/]+)", 1))
+
+
 def host_rollup_stream(parsed: DataFrame) -> DataFrame:
     """Stateful per-host rollup (applyInPandasWithState). Emits the updated
     running totals for every host seen in each micro-batch."""
-    # no trailing '/' required: 'https://host.example' (no path) must still
-    # yield its host, not collapse into the '' state group; scheme match is
-    # case-insensitive (RFC 3986 §3.1 — 'HTTPS://x' is a valid URL and must
-    # not collapse into the '' group either), and the extracted host is
-    # lowercased (§3.2.2: host comparison is case-insensitive) so
-    # 'Example.com' and 'example.com' share one state group
-    host = F.lower(
-        F.regexp_extract("url", r"^(?i)[a-z][a-z0-9+.-]*://([^/]+)", 1))
     return (parsed
-            .withColumn("host", host)
+            .withColumn("host", host_expr())
             .groupBy("host")
             .applyInPandasWithState(
                 _host_rollup,

@@ -72,15 +72,20 @@ def test_stream_empty_source_returns_zero_rows(spark, tmp_path):
 
 
 def test_host_extraction_handles_pathless_urls(spark):
-    """'https://host.example' (no trailing slash) must yield its host, not
-    collapse into the '' group (streaming/job.py host regex)."""
+    """The REAL host expression (streaming/job.py host_expr): pathless
+    urls keep their host; uppercase schemes don't collapse into the ''
+    group (RFC 3986 §3.1); host case is normalized (§3.2.2)."""
+    from htmlparser_spark.streaming.job import host_expr
+
     df = spark.createDataFrame(
-        [("https://a.example",), ("https://b.example/path",), ("nourl",)],
+        [("https://a.example",), ("https://b.example/path",), ("nourl",),
+         ("HTTPS://C.Example/x",), ("https://Mixed.Example",)],
         "url string")
-    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
-    got = {r.url: r.h for r in df.select("url", host.alias("h")).collect()}
+    got = {r.url: r.h for r in df.select("url", host_expr().alias("h")).collect()}
     assert got == {"https://a.example": "a.example",
-                   "https://b.example/path": "b.example", "nourl": ""}
+                   "https://b.example/path": "b.example", "nourl": "",
+                   "HTTPS://C.Example/x": "c.example",
+                   "https://Mixed.Example": "mixed.example"}
 
 
 def test_stream_error_windows_respect_watermark(spark, tmp_path):
