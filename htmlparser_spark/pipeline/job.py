@@ -269,14 +269,20 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
     parsed_path = os.path.join(out_dir, "parsed")
     lineage_path = os.path.join(out_dir, "_lineage")
 
-    done_keys = None
+    # completed-partition manifest rows are COLLECTED (≤ PART_KEY_BUCKETS
+    # rows — tiny by construction) so the lineage update below can union
+    # them back without re-reading lineage_path while overwriting it
+    done_rows = []
     if resume:
         try:
-            done = spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path)
-            done_keys = done.select("part_key").distinct()
+            done_rows = (spark.read.schema(LINEAGE_SCHEMA)
+                         .parquet(lineage_path).collect())
         except Exception:
-            done_keys = None
-    if done_keys is not None:
+            done_rows = []
+    done_key_list = sorted({r.part_key for r in done_rows})
+    if done_key_list:
+        done_keys = spark.createDataFrame(
+            [(k,) for k in done_key_list], "part_key long")
         df = df.join(F.broadcast(done_keys), "part_key", "left_anti")
 
     if not isinstance(src, str):
@@ -325,7 +331,21 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
      .partitionBy("part_key").parquet(parsed_path))
 
     out = spark.read.parquet(parsed_path)
-    lineage_of(out).write.mode("overwrite").parquet(lineage_path)
+    # INCREMENTAL lineage: hash only the partitions THIS run (re)wrote —
+    # the isin() literal on the hive partition column prunes at planning,
+    # so a resume run never re-reads main_text for the terabytes of
+    # already-completed partitions (the previous full-sink lineage_of
+    # recompute was an O(sink) scan per run). Completed partitions keep
+    # their collected manifest rows verbatim; crash-window partitions
+    # (parsed but unrecorded) are NOT in done_rows, so they are re-hashed
+    # from the freshly overwritten data.
+    inc = (out.filter(~F.col("part_key").isin(done_key_list))
+           if done_key_list else out)
+    new_lineage = lineage_of(inc)
+    if done_rows:
+        new_lineage = new_lineage.unionByName(
+            spark.createDataFrame(done_rows, LINEAGE_SCHEMA))
+    new_lineage.write.mode("overwrite").parquet(lineage_path)
 
     observed = {}
     # observation metrics are attached to the last action's query execution;
