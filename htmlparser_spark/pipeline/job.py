@@ -211,6 +211,8 @@ def lineage_of(parsed: DataFrame) -> DataFrame:
     return parsed.groupBy("part_key").agg(
         F.count("*").alias("n_rows"),
         F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
+        F.sum("html_bytes").alias("n_bytes"),
+        F.sum("n_errors").alias("n_errors"),
         # bit_xor: order-insensitive and overflow-free under ANSI mode
         F.bit_xor(row_hash).alias("checksum"),
     )
@@ -347,17 +349,16 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
             spark.createDataFrame(done_rows, LINEAGE_SCHEMA))
     new_lineage.write.mode("overwrite").parquet(lineage_path)
 
-    observed = {}
-    # observation metrics are attached to the last action's query execution;
-    # recompute cheap aggregates from the sink for a stable return value
-    agg = out.agg(
-        F.count(F.lit(1)).alias("pages"),
-        F.sum("html_bytes").alias("bytes"),
-        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_pages"),
-        F.sum("n_errors").alias("parse_errors"),
-    ).collect()[0]
-    observed.update(agg.asDict())
-    return observed
+    # job metrics come from the manifest (≤ PART_KEY_BUCKETS rows — the
+    # write above just computed it), never from a scan of the sink; the
+    # Spark-side `observe` above still exposes this run's live counters on
+    # the write's query execution for listeners
+    m = (spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path)
+         .agg(F.sum("n_rows").alias("pages"),
+              F.sum("n_bytes").alias("bytes"),
+              F.sum("n_ok").alias("ok_pages"),
+              F.sum("n_errors").alias("parse_errors")).collect()[0])
+    return {k: (0 if v is None else int(v)) for k, v in m.asDict().items()}
 
 
 # --- S11: golden-diff validator ----------------------------------------------

@@ -57,10 +57,14 @@ NODES_SCHEMA = StructType([
     StructField("is_anchor_desc", BooleanType()),
 ])
 
-# Per-partition lineage manifest (S9)
+# Per-partition lineage manifest (S9). Carries the byte/error tallies as
+# well so job-level metrics are a sum over ≤4096 manifest rows — never a
+# scan of the sink.
 LINEAGE_SCHEMA = StructType([
     StructField("part_key", LongType()),
     StructField("n_rows", LongType()),
     StructField("n_ok", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("n_errors", LongType()),
     StructField("checksum", LongType()),
 ])
