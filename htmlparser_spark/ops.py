@@ -794,6 +794,13 @@ def supplier_nation_rank(spark, sf_dir):
 SESSION_GAP_US = 1800 * 1_000_000  # 30-minute inactivity gap, exact microseconds
 
 
+def _ntz_micros(col):
+    """Naive-epoch microseconds of a TIMESTAMP_NTZ column, independent of
+    spark.sql.session.timeZone (= DuckDB epoch_us semantics)."""
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_diff("MICROSECOND", epoch, col)
+
+
 def events_sessionize(spark, sf_dir):
     """Sessionization — the classic clickstream/training-telemetry op: split
     each user's event stream into sessions at >30-min inactivity gaps and
@@ -801,16 +808,21 @@ def events_sessionize(spark, sf_dir):
     lag window, the running-sum session numbering, and the final
     (user_id, session_id) aggregate all reuse that same hash partitioning
     (group keys ⊇ the window partition key), so no second exchange. Gap and
-    duration arithmetic is exact integer MICROSECONDS (unix_micros /
-    DuckDB epoch_us) — events carry sub-second timestamps, and float
-    epoch seconds would not compare identically across engines."""
+    duration arithmetic is exact integer MICROSECONDS on the NAIVE
+    timestamps (timestamp_diff on TIMESTAMP_NTZ / DuckDB epoch_us) —
+    events carry sub-second timestamps, float epoch seconds would not
+    compare identically across engines, and session-timezone
+    interpretation would corrupt gaps across DST transitions."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc())
-    # parquet yields TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the cast
-    # shifts all values by one constant (session tz), which cancels in the
-    # gap/duration DIFFERENCES this op computes
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # parquet yields TIMESTAMP_NTZ. timestampdiff on NTZ values is pure
+    # calendar arithmetic — NO session-timezone interpretation — exactly
+    # matching DuckDB's epoch_us on naive timestamps. (The tempting
+    # unix_micros(ts.cast("timestamp")) route interprets the naive value
+    # in the SESSION timezone: across a DST fall-back a 20-minute gap
+    # reads as 80 minutes — measured — splitting one session in two.)
+    us = _ntz_micros(F.col("ts"))
     prev_us = F.lag(us).over(w)
     new_sess = F.when(
         prev_us.isNull() | (us - prev_us > SESSION_GAP_US), 1).otherwise(0)
@@ -821,9 +833,8 @@ def events_sessionize(spark, sf_dir):
             .agg(F.count("*").alias("n_events"),
                  F.min("ts").alias("start_ts"),
                  F.max("ts").alias("end_ts"),
-                 (F.unix_micros(F.max("ts").cast("timestamp"))
-                  - F.unix_micros(F.min("ts").cast("timestamp")))
-                 .alias("duration_us"),
+                 (_ntz_micros(F.max("ts"))
+                  - _ntz_micros(F.min("ts"))).alias("duration_us"),
                  F.countDistinct("event_type").alias("n_event_types")))
 
 
@@ -993,20 +1004,25 @@ def corpus_train_test_split(spark, sf_dir):
 
 def text_tfidf_top_terms(spark, sf_dir, k=3):
     """TF-IDF top-k terms per document: tf = per-(doc, token) count, idf =
-    ln((N+1)/(df+1)), rank per doc. Scale shape: one (doc_id, token)
-    shuffle for tf with map-side partial counts; the document-frequency
-    table aggregates to |vocab| rows and is broadcast into the scoring join
-    (at 100 TB vocab sizes, AQE falls back to a token-keyed sort-merge
-    join — the shape stays an equi-join either way); the top-k window gets
-    the WindowGroupLimit rank pushdown."""
+    ln((N+1)/(df+1)), rank per doc. Scale shape: ONE tokenize pass — the
+    document-frequency table derives from the tf table (tf already has
+    exactly one row per (doc, token), so df = count per token, no
+    countDistinct over re-exploded tokens and no second corpus scan). The
+    scoring join is left UN-hinted: Catalyst broadcasts the df table while
+    it fits autoBroadcastJoinThreshold and falls back to a token-keyed
+    sort-merge join at real vocab sizes (an explicit broadcast() hint is
+    never demoted and would OOM at 100 TB). Top-k gets the
+    WindowGroupLimit rank pushdown."""
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.count()  # scalar for the idf constant (table stats in prod)
     tok = (docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
            .filter(F.col("token") != ""))
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    tf = _materialized(
+        tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")),
+        "tfidf_tf")
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1))
-    scored = (tf.join(F.broadcast(df), "token")
+    scored = (tf.join(df, "token")
               .withColumn("tfidf", F.col("tf") * idf))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("token").asc())

@@ -281,7 +281,14 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
                          .parquet(lineage_path).collect())
         except Exception:
             done_rows = []
+    # a manifest written by an older schema reads with NULL tallies (parquet
+    # schema-on-read) — keep those partitions DONE for the parse anti-join,
+    # but drop their manifest rows so the lineage update below re-hashes
+    # them from the sink instead of baking the nulls in permanently
+    legacy_keys = sorted({r.part_key for r in done_rows
+                          if r.n_bytes is None or r.n_errors is None})
     done_key_list = sorted({r.part_key for r in done_rows})
+    done_rows = [r for r in done_rows if r.part_key not in set(legacy_keys)]
     if done_key_list:
         done_keys = spark.createDataFrame(
             [(k,) for k in done_key_list], "part_key long")
@@ -341,8 +348,9 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
     # their collected manifest rows verbatim; crash-window partitions
     # (parsed but unrecorded) are NOT in done_rows, so they are re-hashed
     # from the freshly overwritten data.
-    inc = (out.filter(~F.col("part_key").isin(done_key_list))
-           if done_key_list else out)
+    kept_keys = [r.part_key for r in done_rows]  # complete manifest rows only
+    inc = (out.filter(~F.col("part_key").isin(kept_keys))
+           if kept_keys else out)
     new_lineage = lineage_of(inc)
     if done_rows:
         new_lineage = new_lineage.unionByName(

@@ -238,6 +238,27 @@ def test_missing_kernel_columns_fail_fast(spark, corpus, tmp_path):
         run_pipeline(spark, bad, str(tmp_path / "out"))
 
 
+def test_resume_migrates_legacy_lineage_schema(spark, corpus, tmp_path):
+    """A manifest written before the tally columns existed reads with NULL
+    n_bytes/n_errors; a resume run must re-hash those partitions from the
+    sink (not bake the nulls in) and report complete job metrics."""
+    out = str(tmp_path / "out")
+    m_full = run_pipeline(spark, corpus, out, num_partitions=4)
+    lineage_path = os.path.join(out, "_lineage")
+    legacy = (spark.read.parquet(lineage_path)
+              .select("part_key", "n_rows", "n_ok", "checksum").collect())
+    shutil.rmtree(lineage_path)
+    spark.createDataFrame(
+        legacy, "part_key long, n_rows long, n_ok long, checksum long"
+    ).write.parquet(lineage_path)
+
+    m = run_pipeline(spark, corpus, out, num_partitions=4)
+    assert m == m_full  # metrics complete, nothing re-parsed or dropped
+    migrated = spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path)
+    assert migrated.filter(F.col("n_bytes").isNull()
+                           | F.col("n_errors").isNull()).count() == 0
+
+
 def test_parse_pages_output_column_pruning(spark, corpus):
     """parse_pages(columns=...) must yield exactly the requested columns (in
     canonical schema order) with values identical to the full-schema run —
