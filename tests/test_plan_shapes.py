@@ -1,0 +1,106 @@
+"""Physical-plan regression tests: pin the SCALE properties the operators
+claim (exchange counts, broadcast joins, rank pushdowns, map-only stages)
+so a refactor that silently adds a shuffle or demotes a broadcast fails
+here, not at 100 TB. Assertions read the EXECUTED plan string — the same
+evidence docs/PLANS.md documents."""
+import os
+import sys
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from htmlparser_spark import ops
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (SparkSession.builder.master("local[4]")
+         .appName("plan-shape-tests")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+    yield s
+    s.stop()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sessionize_single_exchange(spark):
+    """Lag window + running session numbering + session aggregate must all
+    reuse ONE user_id exchange (group keys ⊇ window partition key)."""
+    p = plan_of(ops.events_sessionize(spark, SF))
+    assert p.count("Exchange") == 1, p
+    assert "hashpartitioning(user_id" in p, p
+
+
+def test_asof_join_single_exchange(spark):
+    """Union-sort as-of join: one exchange on the join key, ties resolved
+    in the sort — no pre-dedup aggregate, no range-join blowup."""
+    p = plan_of(ops.asof_join_latest_order(spark, SF))
+    assert p.count("Exchange") == 1, p
+
+
+def test_heavy_hitters_distributed_topk(spark):
+    """Global top-k must be TakeOrderedAndProject (per-partition top-k +
+    k-row merge), never a full-vocabulary single-partition sort."""
+    p = plan_of(ops.token_heavy_hitters(spark, SF))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_ivf_assignment_is_map_only(spark):
+    """Nearest-centroid assignment = codebook matmul in mapInPandas over an
+    already-partitioned corpus: zero Exchange, zero joined rows."""
+    import numpy as np
+    rng = np.random.RandomState(0)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(64)],
+        "vec_id long, v array<double>").repartition(4)
+    cents = (emb.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")))
+    p = plan_of(ops._ivf_assign(emb, cents))
+    # the input repartition is the only exchange; assignment adds none
+    assert p.count("Exchange") == 1 and p.count("MapInPandas") == 1, p
+    assert "Join" not in p, p
+
+
+def test_simhash_map_only_on_partitioned_input(spark):
+    """Signature computation adds NO shuffle when the scan already yields
+    enough splits (the conditional fan-out must not re-shuffle)."""
+    docs = (ops._t(spark, SF, "documents").select("doc_id", "text")
+            .repartition(4))
+    st = ops._shingle_stage(docs, simhash=True).select("doc_id", "simhash")
+    p = plan_of(st)
+    assert p.count("Exchange") == 1, p  # only the input repartition
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    """The filtered customer dim must reach the join as a broadcast."""
+    p = plan_of(ops.q3_revenue_by_order(spark, SF))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_kernel_pipeline_single_exchange_with_dedup(spark):
+    """Parse map-only + ONE parsed exchange on part_key; the dedup window
+    rides it (WindowGroupLimit, no second exchange) — docs/PLANS.md §1."""
+    from pyspark.sql import Window
+    from htmlparser_spark.pipeline.job import (parse_pages, with_part_key)
+    from htmlparser_spark.synth import synth_pages
+
+    pages = with_part_key(synth_pages(spark, 30, seed=1, partitions=4)) \
+        .withColumn("content_hash", F.xxhash64("html")) \
+        .select("url", "warc_ts", "html", "lang", "part_key", "content_hash")
+    parsed = parse_pages(pages).repartition(4, "part_key")
+    w = Window.partitionBy("part_key", "url").orderBy(
+        F.col("warc_ts").desc(), F.col("content_hash").desc())
+    deduped = (parsed.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn"))
+    p = plan_of(deduped)
+    assert p.count("Exchange") == 1, p
+    assert "WindowGroupLimit" in p, p
