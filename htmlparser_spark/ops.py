@@ -880,6 +880,38 @@ def asof_join_latest_order(spark, sf_dir):
                     F.col("last_ord.o_ts").alias("last_orderdate")))
 
 
+PACK_BUDGET = 2048   # tokens per training sequence
+PACK_SHARDS = 32     # independent packing streams
+
+
+def corpus_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing — the GPT-style step that turns a
+    document corpus into fixed-size training sequences: docs are dealt
+    into PACK_SHARDS independent streams by a deterministic hash, each
+    stream is concatenated in doc_id order, and the token stream is cut
+    every PACK_BUDGET tokens. Emits each doc's placement: its stream, its
+    starting token offset, and the first/last sequence ids it lands in
+    (a doc may straddle a cut). Scale shape: ONE exchange keyed on the
+    shard; the running token sum is a window over the same partitioning
+    (sort, no second exchange), and shard count scales with the cluster
+    while placement stays deterministic (hash + doc_id order, never row
+    order)."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    shard = _portable_hash32(F.col("doc_id").cast("string"),
+                             F.lit("pack")) % PACK_SHARDS
+    w = Window.partitionBy("shard").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withtok = d.select("doc_id", shard.alias("shard"), n_tok.alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return (withtok
+            .withColumn("start_tok", (cum - F.col("n_tokens")).cast("long"))
+            .select("doc_id", "shard", "n_tokens", "start_tok",
+                    F.floor(F.col("start_tok") / PACK_BUDGET).alias("seq_first"),
+                    F.floor((F.col("start_tok") + F.col("n_tokens") - 1)
+                            / PACK_BUDGET).alias("seq_last")))
+
+
 def events_value_quantiles(spark, sf_dir):
     """Exact interpolated quantiles (p50/p90/p99) of event value per type —
     the distribution profile a pipeline reads before picking filter
