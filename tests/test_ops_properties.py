@@ -1,0 +1,143 @@
+"""Property tests for the event-stream/corpus relational ops: the Spark
+implementations must match straightforward pure-Python references on
+randomized (seeded) inputs — shapes the sf tables don't necessarily hit
+(ties, empty users, straddling sessions, customers with no orders)."""
+import datetime
+import os
+import random
+import sys
+
+import pytest
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from htmlparser_spark import ops
+
+EPOCH = datetime.datetime(2024, 1, 1)
+
+
+def _us(delta: datetime.timedelta) -> int:
+    """Exact integer microseconds (total_seconds() is a float and drops
+    the odd microsecond on large spans)."""
+    return (delta.days * 86_400_000_000 + delta.seconds * 1_000_000
+            + delta.microseconds)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (SparkSession.builder.master("local[4]")
+         .appName("ops-property-tests")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+    yield s
+    s.stop()
+
+
+def _sf_dir(spark, tmp_path, **tables):
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    for name, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).write.mode("overwrite") \
+            .parquet(os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+def test_sessionize_matches_python_reference(spark, tmp_path):
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for user in range(6):
+        t = 0
+        for _ in range(rng.randint(0, 40)):
+            # mix sub-gap and super-gap deltas, microsecond precision,
+            # including EXACTLY the 30-min boundary (gap > threshold rule)
+            t += rng.choice([1, 1_000_000, 1800 * 1_000_000,
+                             1800 * 1_000_000 + 1, 7200 * 1_000_000])
+            rows.append((eid, EPOCH + datetime.timedelta(microseconds=t),
+                         user, "c", 1.0, ""))
+            eid += 1
+    sf = _sf_dir(spark, tmp_path, events=(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string"))
+
+    got = {(r.user_id, r.session_id): (r.n_events, r.duration_us)
+           for r in ops.events_sessionize(spark, sf).collect()}
+
+    # python reference: split at gap > 30 min, sessions numbered from 1
+    expect = {}
+    by_user = {}
+    for e_id, ts, user, *_ in rows:
+        by_user.setdefault(user, []).append((ts, e_id))
+    for user, evs in by_user.items():
+        evs.sort()
+        sess, cur = [], []
+        for ts, e_id in evs:
+            if cur and _us(ts - cur[-1][0]) > ops.SESSION_GAP_US:
+                sess.append(cur)
+                cur = []
+            cur.append((ts, e_id))
+        if cur:
+            sess.append(cur)
+        for i, s in enumerate(sess, start=1):
+            dur = _us(s[-1][0] - s[0][0])
+            expect[(user, i)] = (len(s), dur)
+    assert got == expect
+
+
+def test_asof_join_matches_python_reference(spark, tmp_path):
+    rng = random.Random(7)
+    events = [(i, EPOCH + datetime.timedelta(seconds=rng.randint(0, 5000)),
+               rng.randint(0, 9), "c", 1.0, "")
+              for i in range(120)]
+    # customers 8,9 get no orders; include equal-timestamp order ties
+    orders = []
+    for ok in range(60):
+        cust = rng.randint(0, 7)
+        od = EPOCH + datetime.timedelta(seconds=rng.choice([0, 100, 100, 2500,
+                                                            2500, 4000]))
+        orders.append((ok, cust, "O", 1.0, od, "p", 0, "x"))
+    sf = _sf_dir(
+        spark, tmp_path,
+        events=(events, "event_id long, ts timestamp_ntz, user_id long, "
+                        "event_type string, value double, props string"),
+        orders=(orders, "o_orderkey long, o_custkey long, o_orderstatus "
+                        "string, o_totalprice double, o_orderdate "
+                        "timestamp_ntz, o_orderpriority string, o_shippriority"
+                        " long, o_comment string"))
+
+    got = {r.event_id: (r.last_orderkey, r.last_orderdate)
+           for r in ops.asof_join_latest_order(spark, sf).collect()}
+
+    for e_id, ts, user, *_ in events:
+        cand = [(od, ok) for ok, cust, _s, _p, od, *_ in orders
+                if cust == user and od <= ts]
+        if cand:
+            od, ok = max(cand)  # latest date; max orderkey breaks ties
+            assert got[e_id] == (ok, od), e_id
+        else:
+            assert got[e_id] == (None, None), e_id
+
+
+def test_pack_sequences_contiguous_per_shard(spark, tmp_path):
+    rng = random.Random(3)
+    docs = [(i, " ".join("w" for _ in range(rng.randint(0, 900))),
+             0, "en", "web") for i in range(300)]
+    sf = _sf_dir(spark, tmp_path, documents=(
+        docs, "doc_id long, text string, n_chars long, lang string, "
+              "source string"))
+    rows = ops.corpus_pack_sequences(spark, sf).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(rows) == len(docs)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:  # token stream is contiguous in doc_id order
+            assert r.start_tok == cum, (shard, r)
+            assert r.seq_first == r.start_tok // ops.PACK_BUDGET
+            end = max(r.start_tok + r.n_tokens - 1, r.start_tok - 1)
+            assert r.seq_last == end // ops.PACK_BUDGET
+            cum += r.n_tokens
