@@ -408,6 +408,30 @@ def dedup_minhash_lsh(spark, sf_dir, threshold=0.5):
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def dedup_lsh_eval(spark, sf_dir, threshold=0.5):
+    """Quality evaluation of the MinHash-LSH approximate dedup against the
+    exact (hot-shingle-capped) Jaccard pair set — the acceptance gate a
+    pipeline runs before trusting banded LSH at scale, mirroring what
+    embedding_ann_recall does for ANN. One row: true/found/hit pair counts
+    plus precision and recall (ratios of integers, rounded — exact across
+    engines). Both sides are the operators' own plans."""
+    truth = dedup_ngram_jaccard(spark, sf_dir, threshold) \
+        .select("doc_a", "doc_b")
+    found = dedup_minhash_lsh(spark, sf_dir, threshold) \
+        .select("doc_a", "doc_b")
+    hits = truth.join(found, ["doc_a", "doc_b"])
+    return (truth.agg(F.count("*").alias("n_true"))
+            .crossJoin(found.agg(F.count("*").alias("n_found")))
+            .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+            .select("n_true", "n_found", "n_hit",
+                    F.round(F.col("n_hit")
+                            / F.greatest(F.col("n_found"), F.lit(1)), 4)
+                    .alias("precision"),
+                    F.round(F.col("n_hit")
+                            / F.greatest(F.col("n_true"), F.lit(1)), 4)
+                    .alias("recall")))
+
+
 def dedup_simhash(spark, sf_dir):
     """32-bit SimHash per document (bit-majority over shingle hashes).
 
