@@ -1161,6 +1161,203 @@ def text_fingerprint(spark, sf_dir):
             .select("doc_id", F.md5(norm).alias("fingerprint")))
 
 
+# --- cluster-and-keep-one dedup (connected components over LSH pairs) ----------------
+
+CC_MAX_ITERS = 25
+
+
+def _plan_truncated(df: DataFrame, name: str) -> DataFrame:
+    """Materialize AND truncate the logical plan. An iterative algorithm
+    that feeds each round's output into the next multiplies the logical
+    plan tree per round (each round references its input several times);
+    `cache()` alone avoids recomputation but the analyzer still walks the
+    full exponential tree every round — measured OOM by round ~10. With
+    SPARK_GRAFT_CKPT_DIR set the parquet round-trip of _materialized
+    truncates reliably (the 100 TB setting); otherwise eager
+    localCheckpoint stores the partitions on executors and cuts lineage
+    (fine single-job; not resilient to executor loss)."""
+    if os.environ.get("SPARK_GRAFT_CKPT_DIR"):
+        return _materialized(df, name)
+    return df.localCheckpoint(eager=True)
+
+
+def _cc_labels(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair set via the alternating
+    large-star / small-star algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14) — the standard O(log²n)-round
+    distributed CC. Each round is two groupBy-min + equi-join passes; edges
+    stay oriented child → smaller parent, and the loop stops when the edge
+    set reaches its fixed point (a star forest: every node points directly
+    at its component minimum). Per-round shuffles are proportional to
+    |pairs| — NEVER |docs| or |docs|² — which is what makes cluster
+    assignment affordable at corpus scale where the pair set is orders of
+    magnitude smaller than the corpus. The driver loop itself only runs a
+    tiny checksum action per round (count + hash-sum of the edge set).
+
+    Returns (doc_id, cluster_id) for every node that appears in `pairs`,
+    cluster_id = min doc_id of its component.
+    """
+    e = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct())
+    prev = None
+    for it in range(CC_MAX_ITERS):
+        # large-star: every neighbor v > u re-links to m = min(N(u) ∪ {u})
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        large = (nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+                 .select("u", F.least("u", "mn").alias("m")))
+        e = (nbrs.join(large, "u")
+             .filter(F.col("v") > F.col("u"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .distinct())
+        # small-star: all edges now point child → smaller parent; re-link
+        # every parent (and the child itself) to the child's min parent
+        small = e.groupBy("u").agg(F.min("v").alias("m"))
+        e = _plan_truncated(
+            (e.join(small, "u")
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .union(small.select("u", F.col("m").alias("v")))
+             .filter(F.col("u") != F.col("v"))
+             .distinct()),
+            f"cc_iter{it}")
+        row = e.agg(F.count("*").alias("n"),
+                    F.bit_xor(F.xxhash64("u", "v")).alias("h")).collect()[0]
+        cur = (row["n"], row["h"])
+        if cur == prev:  # fixed point: star forest reached last round
+            return e.select(F.col("u").alias("doc_id"),
+                            F.col("v").alias("cluster_id"))
+        prev = cur
+    raise RuntimeError(
+        f"connected components did not converge in {CC_MAX_ITERS} "
+        "large-star/small-star rounds — input pair set is pathological")
+
+
+def dedup_cluster_cc(spark, sf_dir, threshold=0.5):
+    """Cluster-and-keep-one dedup: the step that turns PAIR detection
+    (MinHash-LSH) into an actual dedup decision. Near-duplicate relations
+    are not transitive, so a pipeline that drops `doc_b` of every pair
+    over-deletes chains; the standard fix (used by the big web-corpus
+    pipelines) is connected components over the pair graph, keeping one
+    canonical document per component. Output: every document with its
+    cluster id (min doc_id of its component; singletons are their own
+    cluster) and keep = 1 iff the doc is the canonical representative.
+
+    Scale shape: pairs come from the banded-LSH equi-join (no n² anywhere),
+    CC rounds shuffle only the pair set, and the final labeling is one
+    broadcast-sized join against the corpus (components are tiny relative
+    to the corpus; if they weren't, AQE falls back to a sort-merge join).
+    """
+    pairs = _materialized(
+        dedup_minhash_lsh(spark, sf_dir, threshold).select("doc_a", "doc_b"),
+        "cc_pairs")
+    labels = _cc_labels(pairs)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (docs.join(F.broadcast(labels), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+            .withColumn("keep", (F.col("doc_id") == F.col("cluster_id"))
+                        .cast("int")))
+
+
+# --- per-host document cap ------------------------------------------------------------
+
+HOST_CAP = 10
+
+
+def corpus_host_cap(spark, sf_dir, cap=HOST_CAP):
+    """Per-host document cap: crawl pipelines bound how many documents any
+    single host contributes (SEO farms and mirrors otherwise dominate the
+    corpus). Rank documents within each source by quality score (doc_id as
+    the deterministic tiebreak) and keep the top `cap`.
+
+    Scale shape: the rank-≤-cap filter is recognized by Spark 3.5+'s
+    WindowGroupLimit rule, which installs a map-side per-host top-`cap`
+    BEFORE the exchange — a hot host ships `cap` rows per upstream task
+    instead of its full document set, so host skew is bounded by design
+    (verified in tests/test_plans.py)."""
+    q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc())
+    return (docs.join(q, "doc_id")
+            .withColumn("host_rank", F.row_number().over(w))
+            .filter(F.col("host_rank") <= cap)
+            .select("doc_id", "source", "quality_score", "host_rank"))
+
+
+# --- benchmark decontamination ---------------------------------------------------------
+
+DECON_EVAL_EVERY = 50  # doc_id % 50 == 0 → the held-out benchmark docs
+DECON_NGRAM = 4        # word n-gram length for the overlap check
+
+
+def _word_ngrams(words, n):
+    """Non-distinct word n-grams of an array<string> column as one map-side
+    expression (transform over a start-index sequence + slice + concat_ws);
+    docs shorter than n words yield an empty array."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents that share any
+    word 4-gram with the held-out eval set (GPT-3 / Pile-style n-gram
+    overlap; production pipelines use 13-grams — the length is a constant).
+    Eval set = doc_id % 50 == 0, deterministic. Output: one row per
+    CONTAMINATED training doc with the count of distinct shared 4-grams.
+
+    Scale shape: the eval set is tiny by construction, so its distinct
+    n-grams broadcast and the overlap check is a map-side
+    BroadcastHashJoin — the 100 TB training side never shuffles its
+    n-grams; only the matched (doc, gram) hits reach the per-doc count
+    aggregation, and those are rare by definition."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            _word_ngrams(words, DECON_NGRAM))).alias("gram"))
+    ev = (grams.filter(F.col("doc_id") % DECON_EVAL_EVERY == 0)
+          .select("gram").distinct())
+    return (grams.filter(F.col("doc_id") % DECON_EVAL_EVERY != 0)
+            .join(F.broadcast(ev), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared")))
+
+
+# --- repetition-based quality signals ---------------------------------------------------
+
+
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals per document: the fraction of word
+    2-gram occurrences taken by the single most frequent 2-gram, and the
+    fraction of word 3-gram occurrences that are duplicates (their gram
+    occurs more than once in the doc). High values flag boilerplate /
+    keyword-stuffed pages that length or stopword heuristics miss.
+
+    Scale shape: one explode per n-gram length feeding a two-level
+    aggregation keyed on (doc_id, gram) then doc_id — partial aggregation
+    below each exchange caps shuffle volume at the distinct-gram count, and
+    both levels are plain codegen hash aggregates (no UDF, no window)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+
+    def frac(n, agg_expr, name):
+        per_gram = (docs.select(
+            "doc_id", F.explode(_word_ngrams(words, n)).alias("gram"))
+            .groupBy("doc_id", "gram").agg(F.count("*").alias("c")))
+        return (per_gram.groupBy("doc_id")
+                .agg(F.round(agg_expr / F.sum("c"), 4).alias(name)))
+
+    top2 = frac(2, F.max("c"), "top2gram_frac")
+    dup3 = frac(3, F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)),
+                "dup3gram_frac")
+    return top2.join(dup3, "doc_id")
+
+
 # --- kernel round-trip (the oracle-checkable parse query) ----------------------------
 
 PAGE_TEMPLATE_PREFIX = ('<!DOCTYPE html><html><head><title>doc-{id}</title>'

@@ -141,3 +141,56 @@ def test_pack_sequences_contiguous_per_shard(spark, tmp_path):
             end = max(r.start_tok + r.n_tokens - 1, r.start_tok - 1)
             assert r.seq_last == end // ops.PACK_BUDGET
             cum += r.n_tokens
+
+
+def _cc_python(pairs, nodes):
+    """Union-find reference: min doc_id per component."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress everything to the component min
+    return {n: find(n) for n in nodes}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cc_labels_match_union_find(spark, seed):
+    """large-star/small-star must agree with a union-find reference on
+    random graphs (chains, stars, multi-component, isolated pairs)."""
+    rng = random.Random(seed)
+    n = 60
+    pairs = set()
+    # random sparse edges + one long chain (worst case for naive label
+    # propagation: diameter ~ n)
+    for _ in range(40):
+        a, b = rng.sample(range(n), 2)
+        pairs.add((min(a, b), max(a, b)))
+    chain = rng.sample(range(n, n + 20), 20)
+    for a, b in zip(chain, chain[1:]):
+        pairs.add((min(a, b), max(a, b)))
+    nodes = sorted({x for p in pairs for x in p})
+    expect = _cc_python(pairs, nodes)
+
+    df = spark.createDataFrame(sorted(pairs), "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in ops._cc_labels(df).collect()}
+    # _cc_labels only emits non-root nodes of multi-node components plus
+    # roots-as-children never appear; fill roots/singletons like the op does
+    for node in nodes:
+        assert got.get(node, node) == expect[node], (node, seed)
+
+
+def test_cc_labels_empty_and_single_pair(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert ops._cc_labels(empty).count() == 0
+    one = spark.createDataFrame([(7, 3)], "doc_a long, doc_b long")
+    rows = {r["doc_id"]: r["cluster_id"] for r in ops._cc_labels(one).collect()}
+    assert rows == {7: 3}

@@ -104,3 +104,17 @@ def test_kernel_pipeline_single_exchange_with_dedup(spark):
     p = plan_of(deduped)
     assert p.count("Exchange") == 1, p
     assert "WindowGroupLimit" in p, p
+
+
+def test_host_cap_rank_pushdown(spark):
+    """The rank-≤-cap filter must trigger WindowGroupLimit: a map-side
+    per-host top-k before the exchange, bounding hot-host skew."""
+    p = plan_of(ops.corpus_host_cap(spark, SF))
+    assert "WindowGroupLimit" in p, p
+
+
+def test_decontaminate_broadcasts_eval_ngrams(spark):
+    """The eval-set n-gram side is tiny by construction and must reach the
+    overlap join as a broadcast — the training side never shuffles grams."""
+    p = plan_of(ops.corpus_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in p, p
