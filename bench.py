@@ -263,7 +263,8 @@ part_key.
 
 Reference baseline: the reference repo publishes no benchmark of any kind
 (SURVEY.md §6) — it is a single-threaded C# console app that parses one
-file. Our single-thread Python kernel does ~2.7k pages/s (~15 MB/s); the
+file. Our single-thread Python kernel does ~4.5k pages/s (~26 MB/s,
+best-of-3 --kernel-run 4000 on a quiet window); the
 Spark stage reached
 {max(lv['pages_per_sec'] for lv in rep['levels'].values()):.0f} pages/s
 ({max(lv['mb_per_sec'] for lv in rep['levels'].values()):.0f} MB/s) at its

@@ -370,22 +370,11 @@ def dedup_minhash_lsh(spark, sf_dir, threshold=0.5):
     sliced into 4 independent 32-bit values), so the DuckDB oracle is
     untouched. Docs with zero shingles carry mh=null and are excluded
     from banding, exactly as the old explode path dropped them."""
-    rows_per_band = N_MINHASH // N_BANDS
     st = _materialized(
         _shingle_stage(_t(spark, sf_dir, "documents")
                        .select("doc_id", "text"), minhash=True),
         "minhash_shingle_stage")
-    arr = st.select("doc_id", "shs")
-    sig = (st.filter(F.size("shs") > 0)
-           .select("doc_id", F.explode(F.array(*[
-               F.struct(
-                   F.lit(b).alias("band"),
-                   F.concat_ws("-", *[F.col("mh")[k].cast("string")
-                                      for k in range(rows_per_band * b,
-                                                     rows_per_band * (b + 1))]
-                               ).alias("sig"))
-               for b in range(N_BANDS)])).alias("bs"))
-           .select("doc_id", "bs.band", "bs.sig"))
+    sig = _band_signatures(st)
     a = sig.alias("a")
     b = sig.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -394,9 +383,32 @@ def dedup_minhash_lsh(spark, sf_dir, threshold=0.5):
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    # exact verify on candidates only: broadcast the tiny pair set against
-    # the shingle-array table twice (both joins map-side), intersect the
-    # two distinct-shingle arrays per pair — shuffle-free verification
+    return _verified_jaccard(cand, st.select("doc_id", "shs"), threshold)
+
+
+def _band_signatures(st: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) rows from the shingle-stage output: one row per
+    band, sig = the '-'-joined 32-bit minima of the band's 4 hash slots.
+    Zero-shingle docs carry mh=null and are excluded."""
+    rows_per_band = N_MINHASH // N_BANDS
+    return (st.filter(F.size("shs") > 0)
+            .select("doc_id", F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws("-", *[F.col("mh")[k].cast("string")
+                                       for k in range(rows_per_band * b,
+                                                      rows_per_band * (b + 1))]
+                                ).alias("sig"))
+                for b in range(N_BANDS)])).alias("bs"))
+            .select("doc_id", "bs.band", "bs.sig"))
+
+
+def _verified_jaccard(cand: DataFrame, arr: DataFrame,
+                      threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair set: broadcast the
+    tiny pair set against the per-doc shingle-array table twice (both joins
+    map-side), intersect the two distinct-shingle arrays per pair —
+    shuffle-free verification, no exploded shingle set ever moves."""
     va = arr.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     vb = arr.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     inter = F.size(F.array_intersect("shs_a", "shs_b"))
@@ -406,6 +418,46 @@ def dedup_minhash_lsh(spark, sf_dir, threshold=0.5):
                 inter / (F.size("shs_a") + F.size("shs_b") - inter), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+INC_NEW_MOD = 5  # doc_id % 5 == 0 → the "new ingest batch"; rest = history
+
+
+def dedup_incremental(spark, sf_dir, threshold=0.5):
+    """Incremental dedup of a new ingest batch against the historical
+    corpus — the recurring-crawl shape: history is already signed (its band
+    signatures are a materialized table maintained across ingests), each
+    new batch signs itself map-side and probes history with a band/sig
+    equi-join. Output: one row per NEW doc with dup_of = the smallest
+    historical doc it verifies against at jaccard ≥ threshold (null if
+    clean) and an is_dup flag. New batch = doc_id % 5 == 0, deterministic.
+
+    Scale shape: the new batch is small relative to history, so its
+    signature set BROADCASTS — history's signature table never reshuffles
+    (and on a real deployment is bucketed by (band, sig) so the probe is
+    also scan-pruned). Verification touches only the candidate pairs via
+    the broadcast array_intersect pattern. Cost per ingest is
+    O(|batch| + |collisions|), independent of |history|."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    st = _materialized(_shingle_stage(docs, minhash=True),
+                       "incremental_shingle_stage")
+    sig = _band_signatures(st)
+    is_new = F.col("doc_id") % INC_NEW_MOD == 0
+    new_sig = (sig.filter(is_new)
+               .select(F.col("doc_id").alias("new_id"), "band", "sig"))
+    old_sig = (sig.filter(~is_new)
+               .select(F.col("doc_id").alias("old_id"), "band", "sig"))
+    cand = (old_sig.join(F.broadcast(new_sig), ["band", "sig"])
+            .select(F.col("old_id").alias("doc_a"),
+                    F.col("new_id").alias("doc_b"))
+            .distinct())
+    verified = _verified_jaccard(cand, st.select("doc_id", "shs"), threshold)
+    dup = (verified.groupBy(F.col("doc_b").alias("doc_id"))
+           .agg(F.min("doc_a").alias("dup_of")))
+    return (docs.filter(is_new).select("doc_id")
+            .join(F.broadcast(dup), "doc_id", "left")
+            .select("doc_id", "dup_of",
+                    F.col("dup_of").isNotNull().cast("int").alias("is_dup")))
 
 
 def dedup_lsh_eval(spark, sf_dir, threshold=0.5):
