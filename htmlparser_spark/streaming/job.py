@@ -74,6 +74,24 @@ def write_parsed_stream(parsed: DataFrame, out_dir: str,
     return writer.start()
 
 
+def dedup_page_stream(pages: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """S6-stream: drop re-deliveries of the same page snapshot across
+    micro-batches. Keyed on (url, content_hash = xxhash64(html)) — the same
+    (url, bytes) snapshot delivered twice (at-least-once WARC drops,
+    retried upstream ingests) parses once; a genuine re-crawl of the url
+    with different bytes still flows through. dropDuplicatesWithinWatermark
+    bounds the dedup state by the event-time watermark: a key's state is
+    evicted once the watermark passes it, so state size tracks the
+    re-delivery horizon, not the crawl's lifetime — the property that keeps
+    the stream runnable indefinitely at crawl scale (state lives in the
+    RocksDB store on a real cluster)."""
+    return (pages
+            .withColumn("content_hash", F.xxhash64("html"))
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["url", "content_hash"])
+            .drop("content_hash"))
+
+
 def error_window_stream(parsed: DataFrame, window: str = "1 hour",
                         watermark: str = "2 hours") -> DataFrame:
     """S8-stream: watermarked tumbling-window status counters. Append mode

@@ -142,3 +142,39 @@ def test_stream_stateful_host_rollup_accumulates(spark, tmp_path):
     assert second
     grew = [h for h in second if h in first and second[h][0] > first[h][0]]
     assert grew, "expected at least one host accumulating across batches"
+
+
+def test_stream_dedup_drops_redelivered_snapshots(spark, tmp_path):
+    """The same (url, html) snapshot delivered in TWO different files (and
+    thus different micro-batches under maxFilesPerTrigger=1) must parse
+    once; distinct snapshots all survive. Hermetic pages (no intra-batch
+    duplicates, all event times inside the watermark horizon) so the
+    assertion is exact."""
+    import datetime
+
+    from htmlparser_spark.streaming.job import dedup_page_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = datetime.datetime(2024, 1, 1)
+
+    def mk(lo, hi):
+        rows = [(f"https://h{i:03d}.example/p{i:03d}",
+                 base + datetime.timedelta(minutes=i),
+                 f"<html><body>doc {i}</body></html>".encode(),
+                 f"doc {i}", "en") for i in range(lo, hi)]
+        return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+    mk(0, 20).coalesce(1).write.parquet(os.path.join(src, "d1"))
+    # redeliver the identical snapshot set, then 10 genuinely new pages
+    mk(0, 20).coalesce(1).write.parquet(os.path.join(src, "d2"))
+    mk(20, 30).coalesce(1).write.parquet(os.path.join(src, "d3"))
+
+    pages = read_page_stream(spark, src, max_files_per_trigger=1)
+    deduped = dedup_page_stream(pages)
+    q = (deduped.select("url", "warc_ts")
+         .writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    urls = [r.url for r in spark.sql("select url from dedup_out").collect()]
+    assert len(urls) == len(set(urls)) == 30
