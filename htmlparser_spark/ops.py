@@ -1040,7 +1040,10 @@ def text_token_count(spark, sf_dir):
                         F.col("text"), F.lit(TOKEN_RE), 0)).alias("re_tokens")))
 
 
-def text_quality(spark, sf_dir):
+def _quality_exprs():
+    """(n_words, avg_word_len, stopword_ratio, quality_score) column
+    expressions over a `text` column — shared by text_quality and every
+    consumer that needs the score map-side on its own scan (no join)."""
     words = F.filter(F.split("text", " "), lambda w: w != "")
     en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     stop_hits = F.size(F.filter(words, lambda w: F.array_contains(en, w)))
@@ -1053,6 +1056,11 @@ def text_quality(spark, sf_dir):
         F.least(F.lit(1.0),
                 stop_ratio * 2 + F.when((avg_wlen >= 3) & (avg_wlen <= 8), 0.5)
                 .otherwise(0.0)), 4)
+    return n_words, avg_wlen, stop_ratio, score
+
+
+def text_quality(spark, sf_dir):
+    n_words, avg_wlen, stop_ratio, score = _quality_exprs()
     return (_t(spark, sf_dir, "documents")
             .select("doc_id", n_words.alias("n_words"),
                     F.round(avg_wlen, 4).alias("avg_word_len"),
@@ -1296,15 +1304,17 @@ def dedup_cluster_cc(spark, sf_dir, threshold=0.5):
 
     Scale shape: pairs come from the banded-LSH equi-join (no n² anywhere),
     CC rounds shuffle only the pair set, and the final labeling is one
-    broadcast-sized join against the corpus (components are tiny relative
-    to the corpus; if they weren't, AQE falls back to a sort-merge join).
+    left equi-join against the corpus. The label side is deliberately NOT
+    hinted broadcast: on real web corpora duplicate-cluster membership is a
+    large fraction of the corpus (30-50%), far past broadcast size — AQE
+    broadcasts it when it happens to be small, shuffles on doc_id when not.
     """
     pairs = _materialized(
         dedup_minhash_lsh(spark, sf_dir, threshold).select("doc_a", "doc_b"),
         "cc_pairs")
     labels = _cc_labels(pairs)
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    return (docs.join(F.broadcast(labels), "doc_id", "left")
+    return (docs.join(labels, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
             .withColumn("keep", (F.col("doc_id") == F.col("cluster_id"))
@@ -1322,16 +1332,18 @@ def corpus_host_cap(spark, sf_dir, cap=HOST_CAP):
     corpus). Rank documents within each source by quality score (doc_id as
     the deterministic tiebreak) and keep the top `cap`.
 
-    Scale shape: the rank-≤-cap filter is recognized by Spark 3.5+'s
-    WindowGroupLimit rule, which installs a map-side per-host top-`cap`
-    BEFORE the exchange — a hot host ships `cap` rows per upstream task
-    instead of its full document set, so host skew is bounded by design
-    (verified in tests/test_plans.py)."""
-    q = text_quality(spark, sf_dir).select("doc_id", "quality_score")
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    Scale shape: the quality score is computed map-side on the SAME scan
+    (no join to attach it), and the rank-≤-cap filter is recognized by
+    Spark 3.5+'s WindowGroupLimit rule, which installs a map-side per-host
+    top-`cap` BEFORE the exchange — a hot host ships `cap` rows per
+    upstream task instead of its full document set, so host skew is bounded
+    by design (verified in tests/test_plan_shapes.py)."""
+    *_, score = _quality_exprs()
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", "source", score.alias("quality_score")))
     w = Window.partitionBy("source").orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc())
-    return (docs.join(q, "doc_id")
+    return (docs
             .withColumn("host_rank", F.row_number().over(w))
             .filter(F.col("host_rank") <= cap)
             .select("doc_id", "source", "quality_score", "host_rank"))
