@@ -1101,6 +1101,27 @@ def corpus_quality_filter(spark, sf_dir):
             .select("doc_id", "n_words", "quality_score", "lang_pred"))
 
 
+STRATA_PCT = {"en": 90, "de": 50, "fr": 20}  # percent kept per language
+
+
+def corpus_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — the corpus-MIXING primitive: a
+    training mix keeps a different fraction per stratum (language here;
+    domain or quality band identically). Membership is a pure function of
+    doc_id (the same portable md5 hash as the train/test split, different
+    salt), never of row order, partitioning, or an RNG — so re-runs,
+    resumes, and the DuckDB oracle agree row-for-row. Pure map-side
+    expression: no shuffle at any scale; unknown strata are dropped."""
+    h = _portable_hash32(F.col("doc_id").cast("string"), F.lit("strat"))
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == lang, F.lit(pct))
+          for lang, pct in STRATA_PCT.items()],
+        F.lit(0))
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", "lang", (h % 100).alias("bucket"))
+            .filter(F.col("bucket") < rate))
+
+
 TRAIN_PCT = 90
 
 
