@@ -194,3 +194,55 @@ def test_cc_labels_empty_and_single_pair(spark):
     one = spark.createDataFrame([(7, 3)], "doc_a long, doc_b long")
     rows = {r["doc_id"]: r["cluster_id"] for r in ops._cc_labels(one).collect()}
     assert rows == {7: 3}
+
+
+DOC_SCHEMA = ("doc_id long, text string, n_chars long, lang string, "
+              "source string")
+
+
+def _doc(i, text):
+    return (i, text, len(text), "en", "web")
+
+
+def test_dedup_incremental_edge_shapes(spark, tmp_path):
+    """New batch = doc_id % 5 == 0. Exact copy of a historical doc must be
+    flagged with dup_of = that doc; unique and zero-shingle new docs pass
+    clean; output covers exactly the new batch."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        _doc(1, base),                      # history
+        _doc(2, "one two three four five six seven"),   # history
+        _doc(5, base),                      # new: exact dup of 1
+        _doc(10, "totally different words nothing shared here at all"),
+        _doc(15, ""),                       # new: zero shingles
+        _doc(20, base),                     # new: dup of 1 too
+    ]
+    sf = _sf_dir(spark, tmp_path, documents=(docs, DOC_SCHEMA))
+    got = {r.doc_id: (r.dup_of, r.is_dup)
+           for r in ops.dedup_incremental(spark, sf).collect()}
+    assert set(got) == {5, 10, 15, 20}   # exactly the new batch
+    assert got[5] == (1, 1)
+    assert got[20] == (1, 1)
+    assert got[10] == (None, 0)
+    assert got[15] == (None, 0)
+
+
+def test_decontaminate_flags_only_real_overlap(spark, tmp_path):
+    """Eval set = doc_id % 50 == 0. A training doc sharing a 4-gram with an
+    eval doc is flagged with the DISTINCT shared-gram count; short docs
+    (<4 words) and clean docs never appear; eval docs never appear."""
+    ev_text = "red green blue yellow purple"          # doc 0: eval
+    docs = [
+        _doc(0, ev_text),
+        # shares BOTH 4-grams of doc 0 exactly once each
+        _doc(1, "red green blue yellow purple and more tail words"),
+        # shares one 4-gram, repeated — distinct count must still be 1
+        _doc(2, "x red green blue yellow z red green blue yellow"),
+        _doc(3, "red green blue"),                    # <4 words: never
+        _doc(4, "completely unrelated text with many boring words"),
+        _doc(50, ev_text),                            # eval too: excluded
+    ]
+    sf = _sf_dir(spark, tmp_path, documents=(docs, DOC_SCHEMA))
+    got = {r.doc_id: r.n_shared
+           for r in ops.corpus_decontaminate(spark, sf).collect()}
+    assert got == {1: 2, 2: 1}
