@@ -1262,7 +1262,7 @@ def _plan_truncated(df: DataFrame, name: str) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-def _cc_labels(pairs: DataFrame) -> DataFrame:
+def _cc_labels(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
     """Connected components over an undirected pair set via the alternating
     large-star / small-star algorithm (Kiveris et al., "Connected Components
     in MapReduce and Beyond", SoCC'14) — the standard O(log²n)-round
@@ -1282,7 +1282,7 @@ def _cc_labels(pairs: DataFrame) -> DataFrame:
          .filter(F.col("u") != F.col("v"))
          .distinct())
     prev = None
-    for it in range(CC_MAX_ITERS):
+    for it in range(max_iters):
         # large-star: every neighbor v > u re-links to m = min(N(u) ∪ {u})
         nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         large = (nbrs.groupBy("u").agg(F.min("v").alias("mn"))
@@ -1309,7 +1309,7 @@ def _cc_labels(pairs: DataFrame) -> DataFrame:
                             F.col("v").alias("cluster_id"))
         prev = cur
     raise RuntimeError(
-        f"connected components did not converge in {CC_MAX_ITERS} "
+        f"connected components did not converge in {max_iters} "
         "large-star/small-star rounds — input pair set is pathological")
 
 

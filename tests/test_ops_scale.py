@@ -106,3 +106,28 @@ def test_jaccard_hot_shingle_cap_drops_ubiquitous_shingles(spark, tmp_path):
     # the hot shingle alone must not connect the n boilerplate docs
     assert all(a >= n or b >= n for a, b in pairs), pairs
     assert (n, n + 1) in pairs  # the genuine near-dup pair survives
+
+
+def test_cc_converges_logarithmically_on_long_chain(spark):
+    """The alternating large-star/small-star algorithm must converge in
+    O(log n) rounds, NOT O(diameter): a 256-node path (diameter 255 — the
+    worst case for naive min-label propagation, which needs ~255 rounds)
+    must finish within 12 rounds, with every node labeled by the chain
+    minimum. This pins the property that makes CC affordable at corpus
+    scale, where a round is a full shuffle of the pair set."""
+    n = 256
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    labels = {r.doc_id: r.cluster_id
+              for r in ops._cc_labels(df, max_iters=12).collect()}
+    assert all(labels.get(i, i) == 0 for i in range(n))
+
+
+def test_cc_handles_high_degree_hub(spark):
+    """A 500-leaf star (one hot node) must not blow up pair counts or
+    rounds — stars are the CONVERGED form, so 2-3 rounds suffice."""
+    pairs = [(0, i) for i in range(1, 501)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    labels = {r.doc_id: r.cluster_id
+              for r in ops._cc_labels(df, max_iters=4).collect()}
+    assert all(labels.get(i, i) == 0 for i in range(501))
