@@ -831,6 +831,31 @@ def dedup_embedding_cosine(spark, sf_dir, threshold=0.40):
     return pairs.select("vec_a", "vec_b", F.round("cos", 4).alias("cos_r"))
 
 
+def dedup_semantic_cc(spark, sf_dir, threshold=0.40):
+    """SemDeDup-shaped semantic dedup: connected components over the
+    embedding-cosine near-dup pair graph, keeping one canonical vector per
+    semantic cluster. Same reason as dedup_cluster_cc: cosine similarity is
+    not transitive, so dropping the right side of every pair over-deletes
+    chains of paraphrases — cluster first, keep the minimum id. Output:
+    every vector with its cluster id and keep = 1 iff canonical.
+
+    Scale shape: pairs come from IVF-cell equi-join candidates (never n²),
+    the CC rounds shuffle only the pair set (O(log n) rounds, see
+    _cc_labels), and the final labeling join strategy is left to AQE."""
+    pairs = _materialized(
+        dedup_embedding_cosine(spark, sf_dir, threshold)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")),
+        "semantic_cc_pairs")
+    labels = _cc_labels(pairs).select(F.col("doc_id").alias("vec_id"),
+                                      "cluster_id")
+    vecs = _t(spark, sf_dir, "embeddings").select("vec_id")
+    return (vecs.join(labels, "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("cluster_id", "vec_id").alias("cluster_id"))
+            .withColumn("keep", (F.col("vec_id") == F.col("cluster_id"))
+                        .cast("int")))
+
+
 def part_brand_revenue(spark, sf_dir):
     """Fact-to-dim join on a second fact key (l_partkey): revenue and volume
     by part brand/type. The part dim is broadcast."""
