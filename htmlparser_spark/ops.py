@@ -1502,3 +1502,202 @@ def parse_roundtrip(spark, sf_dir):
         F.col("url").cast("bigint").alias("doc_id"),
         F.col("status"), F.col("title"),
         F.col("main_text"))
+
+
+# --- URL canonicalization dedup --------------------------------------------------------
+
+URL_TRACKING_RE = r"(utm_[a-z]+|fbclid)=[^&#]*&?"
+
+
+def _canonical_url(u):
+    """Canonicalize a URL with pure codegen regexp expressions: drop the
+    fragment, lowercase scheme+host, strip default ports (http:80 /
+    https:443), drop tracking params (utm_*, fbclid) keeping real ones,
+    and strip dangling '?'/'&' and trailing slashes. No Python, no UDF —
+    the whole normalization is one map-side expression chain."""
+    c = F.regexp_replace(u, "#.*$", "")
+    head = F.regexp_extract(c, "^[^/]*//[^/?#]*", 0)
+    c = F.concat(F.lower(head),
+                 F.substring(c, F.length(head) + F.lit(1), F.length(c)))
+    c = F.regexp_replace(c, "^(http://[^/:]+):80(/|$)", "$1$2")
+    c = F.regexp_replace(c, "^(https://[^/:]+):443(/|$)", "$1$2")
+    c = F.regexp_replace(c, URL_TRACKING_RE, "")
+    c = F.regexp_replace(c, "[?&]+$", "")
+    c = F.regexp_replace(c, r"/(\?)", "$1")
+    return F.regexp_replace(c, "/+$", "")
+
+
+def corpus_url_dedup(spark, sf_dir):
+    """URL-canonicalization dedup — the first dedup pass every web-corpus
+    pipeline runs (before any content hashing): the same page is crawled
+    under scheme/host case variants, default ports, tracking query params,
+    fragments, and trailing slashes. The documents table has no url column,
+    so a deterministic messy URL is synthesized per doc_id (each variant
+    class exercised by a doc_id residue; doc_id % 50 within a source maps
+    to the same canonical page) — the DuckDB oracle recomputes the same
+    synthesis, so the value hash verifies every canonical string
+    byte-exactly.
+
+    Scale shape: synthesis + canonicalization are map-side codegen
+    regexps; the ONLY shuffle keys on canonical_url with partial
+    count/min below the exchange — output is |distinct canonical urls|,
+    never pairs."""
+    d = _t(spark, sf_dir, "documents")
+    scheme = F.when(F.col("doc_id") % 4 == 0, "HTTP").otherwise("http")
+    host0 = F.concat(F.col("source"), F.lit(".example.com"))
+    host = F.when(F.col("doc_id") % 3 == 0, F.upper(host0)).otherwise(host0)
+    url = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(F.col("doc_id") % 5 == 0, ":80").otherwise(""),
+        F.lit("/p/"), (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, "/").otherwise(""),
+        F.when(F.col("doc_id") % 6 == 0, "?utm_source=feed&utm_campaign=x")
+         .when(F.col("doc_id") % 9 == 0, "?id=7&utm_medium=social")
+         .otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0, "#section-2").otherwise(""))
+    return (d.select("doc_id", _canonical_url(url).alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count("*").alias("n_variants"),
+                 F.min("doc_id").alias("keeper_id")))
+
+
+# --- exact-substring scrub (duplicate-span REMOVAL) ------------------------------------
+
+
+def text_span_scrub(spark, sf_dir):
+    """Exact-substring dedup REMOVAL (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL'22 — shape, not the suffix
+    array): where text_span_dedup only *detects* 16-word windows shared by
+    >= 2 docs, this op cuts them out. The doc with the smallest doc_id per
+    span keeps its occurrence; every other doc drops the word positions its
+    duplicated windows cover, and the cleaned text is rebuilt from the
+    surviving positions.
+
+    Scale shape: windows never explode corpus-wide word positions — the
+    duplicated-span table aggregates on span_hash (partial count/min below
+    the exchange), only MATCHED (doc, window) hits explode to positions,
+    and the per-doc removal set joins back to the corpus on doc_id for a
+    HOF rebuild (filter-by-index, codegen array ops). Shuffle volume is
+    |windows| + |removed positions| + |docs| — never |words|."""
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.filter(F.split("text", " "),
+                          lambda w: w != "").alias("ws")))
+    nw = F.size("ws")
+    idx = F.sequence(
+        F.lit(0),
+        F.floor((nw - F.lit(SPAN_WINDOW)) / F.lit(SPAN_STRIDE)).cast("int"))
+    wins = (d.filter(nw >= SPAN_WINDOW)
+            .select("doc_id", "ws", F.explode(idx).alias("i"))
+            .select("doc_id", "i",
+                    F.md5(F.array_join(
+                        F.slice("ws", F.col("i") * SPAN_STRIDE + 1,
+                                F.lit(SPAN_WINDOW)), " ")).alias("span_hash")))
+    dup = (wins.select("doc_id", "span_hash").distinct()
+           .groupBy("span_hash")
+           .agg(F.count("*").alias("n_docs"),
+                F.min("doc_id").alias("keeper_id"))
+           .filter(F.col("n_docs") >= 2))
+    rm = (wins.join(dup, "span_hash")
+          .filter(F.col("doc_id") != F.col("keeper_id"))
+          .select("doc_id",
+                  F.explode(F.sequence(
+                      F.col("i") * SPAN_STRIDE,
+                      F.col("i") * SPAN_STRIDE + SPAN_WINDOW - 1))
+                  .alias("pos"))
+          .groupBy("doc_id")
+          .agg(F.collect_set("pos").alias("rm")))
+    rm_arr = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    kept = F.filter(F.col("ws"),
+                    lambda w, i: ~F.array_contains(rm_arr, i))
+    return (d.join(rm, "doc_id", "left")
+            .select("doc_id",
+                    nw.cast("int").alias("n_words"),
+                    (nw - F.size(kept)).cast("int").alias("n_removed"),
+                    F.md5(F.array_join(kept, " ")).alias("clean_md5")))
+
+
+# --- DSIR-style hashed n-gram importance weights ---------------------------------------
+
+DSIR_BUCKETS = 256
+
+
+def text_dsir_weights(spark, sf_dir):
+    """DSIR-shaped importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS'23): hash each
+    document's word uni+bigrams into a fixed bucket table, fit smoothed
+    bucket distributions for a target slice (lang='en' stands in for the
+    curated target corpus) and for the raw pool, and score every document
+    by its mean per-gram log-likelihood ratio — the weight importance
+    resampling then samples by.
+
+    Scale shape: gram hashing is map-side codegen (portable md5 bucket);
+    the distribution fit aggregates to DSIR_BUCKETS cells with map-side
+    partial counts (one scan serves both target and raw via a conditional
+    sum); scoring joins the per-(doc,bucket) counts to the broadcast
+    256-row log-ratio table and reduces per doc. No UDF anywhere; shuffle
+    volume is |distinct (doc,bucket)| ≤ 256·|docs|."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    grams = F.concat(words, _word_ngrams(words, 2))
+    g = (d.select("doc_id", "lang", F.explode(grams).alias("gram"))
+         .select("doc_id", "lang",
+                 (_portable_hash32(F.col("gram"), F.lit("dsir"))
+                  % DSIR_BUCKETS).alias("b")))
+    bucket = g.groupBy("b").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"))
+    tot = bucket.agg(F.sum("c_raw").alias("t_raw"),
+                     F.sum("c_tgt").alias("t_tgt"))
+    lr = (bucket.crossJoin(F.broadcast(tot))
+          .select("b", F.log(
+              ((F.col("c_tgt") + 1).cast("double")
+               / (F.col("t_tgt") + DSIR_BUCKETS))
+              / ((F.col("c_raw") + 1).cast("double")
+                 / (F.col("t_raw") + DSIR_BUCKETS))).alias("lr")))
+    pd_ = g.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    return (pd_.join(F.broadcast(lr), "b")
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("n_grams"),
+                 F.round(F.sum(F.col("c") * F.col("lr")) / F.sum("c"), 6)
+                 .alias("dsir_weight")))
+
+
+# --- temperature-scaled source mixing --------------------------------------------------
+
+MIX_TEMP = 2.0
+MIX_BUDGET_FRAC = 0.5
+
+
+def corpus_mix_temperature(spark, sf_dir):
+    """Temperature-scaled source mixing: sample each source proportionally
+    to n_src^(1/T) (T=2 flattens the source distribution — the standard
+    multilingual/multi-domain rebalancing rule), under a total budget of
+    MIX_BUDGET_FRAC·N documents. Per-source keep rates become integer
+    millionth thresholds compared against the portable doc hash, so
+    membership is a pure deterministic function of doc_id — re-runs,
+    resumes, and the DuckDB oracle agree row-for-row.
+
+    Scale shape: the source histogram is a tiny aggregate (|sources|
+    rows), the rate table broadcasts, and the keep decision is a map-side
+    hash compare — no shuffle of the corpus at any scale."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    tot = counts.agg(
+        F.sum("n_src").alias("n_tot"),
+        F.sum(F.pow(F.col("n_src").cast("double"),
+                    F.lit(1.0 / MIX_TEMP))).alias("z"))
+    rates = (counts.crossJoin(F.broadcast(tot))
+             .select("source", "n_src",
+                     F.floor(F.least(
+                         F.lit(1.0),
+                         F.lit(MIX_BUDGET_FRAC) * F.col("n_tot")
+                         * F.pow(F.col("n_src").cast("double"),
+                                 F.lit(1.0 / MIX_TEMP))
+                         / (F.col("z") * F.col("n_src")))
+                         * 1e6 + F.lit(1e-9)).cast("long")
+                     .alias("keep_thr")))
+    h = _portable_hash32(F.col("doc_id").cast("string"), F.lit("mix"))
+    return (docs.join(F.broadcast(rates), "source")
+            .filter(h % 1000000 < F.col("keep_thr"))
+            .select("doc_id", "source", "keep_thr"))

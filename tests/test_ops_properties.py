@@ -246,3 +246,121 @@ def test_decontaminate_flags_only_real_overlap(spark, tmp_path):
     got = {r.doc_id: r.n_shared
            for r in ops.corpus_decontaminate(spark, sf).collect()}
     assert got == {1: 2, 2: 1}
+
+
+def test_url_dedup_canonicalization(spark, tmp_path):
+    # doc_ids chosen to hit every variant class; same (source, doc_id % 50)
+    # must collapse to one canonical URL regardless of the mess
+    ids = [0, 3, 4, 5, 6, 7, 9, 50, 100, 150, 300, 53, 103]
+    rows = [(i, "t", "en", "srcA", 1) for i in ids]
+    d = _sf_dir(spark, tmp_path,
+                documents=(rows, "doc_id long, text string, lang string, "
+                                 "source string, n_chars int"))
+    out = {r["canonical_url"]: r for r in
+           ops.corpus_url_dedup(spark, d).collect()}
+    for u in out:
+        assert u.startswith("http://"), u          # scheme lowercased
+        assert ".example.com" in u and u == u.lower() or "?id=" in u, u
+        assert ":80" not in u and "#" not in u, u  # port + fragment gone
+        assert "utm_" not in u, u                  # tracking params gone
+        assert not u.endswith("/") and not u.endswith("?"), u
+    # 0, 50, 100, 150, 300 all → /p/0 ; 3,53,103 → /p/3
+    assert out["http://srca.example.com/p/0"]["n_variants"] == 5
+    assert out["http://srca.example.com/p/0"]["keeper_id"] == 0
+    assert out["http://srca.example.com/p/3"]["n_variants"] == 3
+    # a real (non-tracking) param survives: 9 % 9 == 0 → ?id=7 kept
+    assert "http://srca.example.com/p/9?id=7" in out
+
+
+def _scrub_reference(docs):
+    """Pure-Python mirror of text_span_scrub semantics."""
+    import hashlib
+    words = {d: [w for w in t.split(" ") if w] for d, t in docs}
+    span_docs, wins = {}, []
+    for d, ws in sorted(words.items()):
+        if len(ws) >= 16:
+            for i in range((len(ws) - 16) // 8 + 1):
+                span = " ".join(ws[i * 8:i * 8 + 16])
+                span_docs.setdefault(span, set()).add(d)
+                wins.append((d, i, span))
+    keeper = {s: min(ds) for s, ds in span_docs.items() if len(ds) >= 2}
+    rm = {}
+    for d, i, s in wins:
+        if s in keeper and d != keeper[s]:
+            rm.setdefault(d, set()).update(range(i * 8, i * 8 + 16))
+    out = {}
+    for d, ws in words.items():
+        kept = [w for j, w in enumerate(ws) if j not in rm.get(d, set())]
+        out[d] = (len(ws), len(ws) - len(kept),
+                  hashlib.md5(" ".join(kept).encode()).hexdigest())
+    return out
+
+
+def test_span_scrub_matches_python_reference(spark, tmp_path):
+    rng = random.Random(23)
+    vocab = [f"w{k}" for k in range(8)]  # tiny vocab → real collisions
+    docs = []
+    shared = " ".join(rng.choice(vocab) for _ in range(24))
+    for d in range(30):
+        n = rng.choice([0, 5, 16, 17, 24, 40, 64])
+        t = " ".join(rng.choice(vocab) for _ in range(n))
+        if d % 3 == 0:  # plant a guaranteed cross-doc duplicate run
+            t = (t + " " + shared).strip()
+        docs.append((d, t))
+    sf = _sf_dir(spark, tmp_path,
+                 documents=([(d, t, "en", "s", len(t)) for d, t in docs],
+                            "doc_id long, text string, lang string, "
+                            "source string, n_chars int"))
+    got = {r["doc_id"]: (r["n_words"], r["n_removed"], r["clean_md5"])
+           for r in ops.text_span_scrub(spark, sf).collect()}
+    assert got == _scrub_reference(docs)
+    # keepers really keep: at least one doc with a planted dup removed 0
+    assert any(v[1] > 0 for v in got.values())
+    assert any(d % 3 == 0 and got[d][1] == 0 for d in got)
+
+
+def test_dsir_weights_rank_target_vocab_higher(spark, tmp_path):
+    # en docs speak vocab A, fr docs vocab B; two unlabeled probes (lang
+    # 'xx' so they sit only in the raw pool) must rank A-probe > B-probe
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "uno dos tres cuatro cinco seis"
+    rows = [(i, a, "en", "s", 1) for i in range(20)]
+    rows += [(100 + i, b, "fr", "s", 1) for i in range(20)]
+    rows += [(900, a, "xx", "s", 1), (901, b, "xx", "s", 1)]
+    sf = _sf_dir(spark, tmp_path,
+                 documents=(rows, "doc_id long, text string, lang string, "
+                                  "source string, n_chars int"))
+    got = {r["doc_id"]: r for r in ops.text_dsir_weights(spark, sf).collect()}
+    assert got[900]["dsir_weight"] > got[901]["dsir_weight"]
+    assert got[900]["n_grams"] == 6 + 5  # uni + bigrams
+    en_mean = sum(got[i]["dsir_weight"] for i in range(20)) / 20
+    fr_mean = sum(got[100 + i]["dsir_weight"] for i in range(20)) / 20
+    assert en_mean > 0 > fr_mean
+
+
+def test_mix_temperature_flattens_sources(spark, tmp_path):
+    rows = []
+    for src, n in (("big", 400), ("mid", 100), ("tiny", 25)):
+        base = {"big": 0, "mid": 10000, "tiny": 20000}[src]
+        rows += [(base + i, "t", "en", src, 1) for i in range(n)]
+    sf = _sf_dir(spark, tmp_path,
+                 documents=(rows, "doc_id long, text string, lang string, "
+                                  "source string, n_chars int"))
+    out = ops.corpus_mix_temperature(spark, sf).collect()
+    kept = {}
+    thr = {}
+    for r in out:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+        thr[r["source"]] = r["keep_thr"]
+    # T=2 flattening: smaller sources keep a HIGHER fraction
+    assert thr["tiny"] > thr["mid"] > thr["big"]
+    assert kept["tiny"] / 25 > kept["big"] / 400
+    # budget respected in expectation: thresholds encode rates whose
+    # weighted sum is the 0.5*N budget (up to the min(1,·) cap)
+    expected = sum(min(t, 10**6) / 10**6 * n
+                   for t, n in ((thr["big"], 400), (thr["mid"], 100),
+                                (thr["tiny"], 25)))
+    assert expected <= 0.5 * 525 + 1e-6
+    # determinism
+    out2 = ops.corpus_mix_temperature(spark, sf).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

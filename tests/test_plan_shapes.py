@@ -118,3 +118,40 @@ def test_decontaminate_broadcasts_eval_ngrams(spark):
     overlap join as a broadcast — the training side never shuffles grams."""
     p = plan_of(ops.corpus_decontaminate(spark, SF))
     assert "BroadcastHashJoin" in p, p
+
+
+def test_url_dedup_single_exchange_no_python(spark):
+    """URL synthesis + canonicalization are map-side codegen regexps; the
+    only shuffle keys on canonical_url (partial count/min below it)."""
+    p = plan_of(ops.corpus_url_dedup(spark, SF))
+    assert p.count("Exchange") == 1, p
+    assert "hashpartitioning(canonical_url" in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+
+
+def test_dsir_scoring_broadcasts_log_ratio_table(spark):
+    """The 256-row log-ratio table must broadcast into the per-doc scoring
+    join; the corpus never sort-merge-joins on the bucket id."""
+    p = plan_of(ops.text_dsir_weights(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_mix_temperature_broadcast_rates_only(spark):
+    """The keep decision is a map-side hash compare against a broadcast
+    rate table — the corpus itself is never shuffled or SMJ'd."""
+    p = plan_of(ops.corpus_mix_temperature(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # only the tiny source-histogram aggregation may exchange; the docs →
+    # output path must not repartition the corpus on any key
+    assert "hashpartitioning(doc_id" not in p, p
+
+
+def test_span_scrub_no_cartesian_no_python(spark):
+    """Duplicate-span removal must stay equi-join + HOF rebuild: no pair
+    blowup, no Python eval anywhere."""
+    p = plan_of(ops.text_span_scrub(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
