@@ -1701,3 +1701,76 @@ def corpus_mix_temperature(spark, sf_dir):
     return (docs.join(F.broadcast(rates), "source")
             .filter(h % 1000000 < F.col("keep_thr"))
             .select("doc_id", "source", "keep_thr"))
+
+
+# --- CCNet-style LM perplexity ---------------------------------------------------------
+
+LM_BUCKETS = 4096
+
+
+def text_lm_perplexity(spark, sf_dir):
+    """CCNet-shaped LM quality signal (Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data", LREC'20): fit
+    an add-1-smoothed hashed-unigram LM on the target slice (lang='en'
+    stands in for the curated KenLM corpus) and score every document by
+    its mean per-token bits H and perplexity 2^H — CCNet buckets the crawl
+    into head/middle/tail on exactly this number. ppl derives from the
+    ROUNDED H so Spark and the DuckDB oracle agree bit-for-bit.
+
+    Scale shape: token→bucket hashing is map-side codegen (portable md5 %
+    LM_BUCKETS); the LM fit collapses to ≤4096 cells with partial counts
+    below its exchange; scoring left-joins the BROADCAST bucket table and
+    reduces per doc. No UDF; shuffle is |distinct (doc,bucket)|."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    g = (d.select("doc_id", "lang", F.explode(words).alias("tok"))
+         .select("doc_id", "lang",
+                 (_portable_hash32(F.col("tok"), F.lit("lm"))
+                  % LM_BUCKETS).alias("b")))
+    lm = (g.filter(F.col("lang") == "en")
+          .groupBy("b").agg(F.count("*").alias("c")))
+    tot = lm.agg(F.sum("c").alias("t"))
+    pd_ = g.groupBy("doc_id", "b").agg(F.count("*").alias("k"))
+    scored = (pd_.join(F.broadcast(lm), "b", "left")
+              .crossJoin(F.broadcast(tot))
+              .withColumn("nll", -F.log2(
+                  (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                  / (F.col("t") + LM_BUCKETS))))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("k").alias("n_tokens"),
+                 F.round(F.sum(F.col("k") * F.col("nll")) / F.sum("k"), 6)
+                 .alias("h_bits"))
+            .withColumn("ppl", F.round(F.pow(F.lit(2.0), F.col("h_bits")),
+                                       4)))
+
+
+# --- composed end-to-end curation pass -------------------------------------------------
+
+
+def corpus_curation_pipeline(spark, sf_dir):
+    """The flagship COMPOSED cleaning pass — the order every web-corpus
+    pipeline runs its stages in: URL-canonicalization keeper → exact-dedup
+    keeper + language + quality + length gates (corpus_quality_filter) →
+    eval-set decontamination (anti-join) → per-host quality-ranked cap.
+    One query answering "which documents survive curation, and at what
+    rank on their host" — each stage reuses the already-oracled operator.
+
+    Scale shape: inherits each stage's plan (url/exact keepers are
+    content-keyed aggregates, decontamination broadcasts the tiny eval
+    gram set, the final cap is a WindowGroupLimit map-side top-k); the
+    stages compose as equi-joins on doc_id, so AQE picks join strategies
+    per actual survivor cardinality at runtime."""
+    base = corpus_quality_filter(spark, sf_dir)
+    url_keep = (corpus_url_dedup(spark, sf_dir)
+                .select(F.col("keeper_id").alias("doc_id")))
+    contaminated = corpus_decontaminate(spark, sf_dir).select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = (base.join(url_keep, "doc_id")
+            .join(contaminated, "doc_id", "left_anti")
+            .join(docs, "doc_id"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc())
+    return (kept.withColumn("host_rank", F.row_number().over(w))
+            .filter(F.col("host_rank") <= HOST_CAP)
+            .select("doc_id", "source", "n_words", "quality_score",
+                    "lang_pred", "host_rank"))

@@ -364,3 +364,43 @@ def test_mix_temperature_flattens_sources(spark, tmp_path):
     # determinism
     out2 = ops.corpus_mix_temperature(spark, sf).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_lm_perplexity_scores_target_vocab_lower(spark, tmp_path):
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "uno dos tres cuatro cinco seis siete ocho"
+    rows = [(i, a, "en", "s", 1) for i in range(10)]
+    rows += [(900, a, "xx", "s", 1), (901, b, "xx", "s", 1)]
+    sf = _sf_dir(spark, tmp_path,
+                 documents=(rows, "doc_id long, text string, lang string, "
+                                  "source string, n_chars int"))
+    got = {r["doc_id"]: r for r in
+           ops.text_lm_perplexity(spark, sf).collect()}
+    # in-LM vocab → fewer bits → lower perplexity than unseen vocab
+    assert got[900]["h_bits"] < got[901]["h_bits"]
+    assert got[900]["ppl"] < got[901]["ppl"]
+    # ppl is a pure function of the ROUNDED bits (cross-engine contract)
+    for r in got.values():
+        assert r["ppl"] == round(2.0 ** r["h_bits"], 4)
+        assert r["n_tokens"] == 8
+
+
+def test_curation_pipeline_composes_all_gates(spark):
+    sf = "/root/testdata/sf0.01"
+    out = ops.corpus_curation_pipeline(spark, sf).collect()
+    assert out, "curation must keep something at sf0.01"
+    kept = {r["doc_id"] for r in out}
+    # every survivor passes each stage's own gate
+    qf = {r["doc_id"] for r in ops.corpus_quality_filter(spark, sf).collect()}
+    urlkeep = {r["keeper_id"] for r in
+               ops.corpus_url_dedup(spark, sf).collect()}
+    contaminated = {r["doc_id"] for r in
+                    ops.corpus_decontaminate(spark, sf).collect()}
+    assert kept <= qf and kept <= urlkeep
+    assert not (kept & contaminated)
+    per_host = {}
+    for r in out:
+        per_host.setdefault(r["source"], []).append(r["host_rank"])
+        assert 1 <= r["host_rank"] <= ops.HOST_CAP
+    for ranks in per_host.values():  # ranks are dense from 1
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -155,3 +155,20 @@ def test_span_scrub_no_cartesian_no_python(spark):
     p = plan_of(ops.text_span_scrub(spark, SF))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+
+
+def test_lm_perplexity_broadcasts_bucket_table(spark):
+    """The ≤4096-row LM bucket table must broadcast into scoring; the
+    corpus never sort-merge-joins on the bucket id."""
+    p = plan_of(ops.text_lm_perplexity(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_curation_pipeline_keeps_host_cap_pushdown(spark):
+    """The composed pass must retain the map-side per-host top-k rewrite
+    and stay free of pair blowups."""
+    p = plan_of(ops.corpus_curation_pipeline(spark, SF))
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p, p
