@@ -1,0 +1,145 @@
+"""WARC source: Common Crawl's native container format → the pages table.
+
+WARC (ISO 28500) is what an extraction pipeline actually receives from a
+crawl: a file is a sequence of records, each ``WARC/1.0\\r\\n`` + header
+lines + blank line + exactly ``Content-Length`` body bytes. Crawl
+``response`` records wrap an HTTP response (status line + headers + blank
+line + the html bytes). Common Crawl ships ~1 GB ``.warc.gz`` segments
+whose members are gzip streams concatenated back to back — Python's
+``gzip.decompress`` consumes multi-member streams, so whole-file and
+per-record compression both decode through the same call.
+
+Scale shape (100 TB = ~100k segment files): the standard Spark strategy —
+and this module's — is ONE FILE = ONE TASK. The ``binaryFile`` scan lists
+segments into tasks with no shuffle; record splitting happens inside the
+task in an Arrow-batched ``mapInPandas`` (the kernel's own slow path is
+~100× the record-split cost, so the split never dominates); the output is
+exactly the pages schema ``(url, warc_ts, html, text, lang)``, so
+``run_pipeline`` consumes it unchanged. Record boundaries advance by
+Content-Length per the spec — a body containing the bytes ``WARC/1.0``
+cannot desynchronize the parse.
+
+Reference parity: the reference parses files handed to it one at a time
+(``Program.cs:3-6`` reads a single local file); WARC is the corresponding
+"how pages arrive" story at crawl scale.
+"""
+from __future__ import annotations
+
+import datetime as _dt
+import gzip
+import io
+import os
+from typing import Iterator
+
+import pandas as pd
+
+WARC_DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"
+
+
+def _warc_record(rtype: str, headers: dict[str, str], body: bytes) -> bytes:
+    head = [b"WARC/1.0", f"WARC-Type: {rtype}".encode()]
+    head += [f"{k}: {v}".encode() for k, v in headers.items()]
+    head.append(f"Content-Length: {len(body)}".encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def write_warc(path: str, rows, *, compress: bool = False) -> int:
+    """Write (url, warc_ts, html_bytes) rows as a WARC file (optionally
+    gzipped whole-file). Returns the record count (excluding warcinfo)."""
+    buf = io.BytesIO()
+    buf.write(_warc_record("warcinfo",
+                           {"WARC-Filename": os.path.basename(path)},
+                           b"software: htmlparser-spark-synth\r\n"))
+    n = 0
+    for url, ts, html in rows:
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + f"Content-Length: {len(html)}\r\n\r\n".encode() + html)
+        buf.write(_warc_record(
+            "response",
+            {"WARC-Target-URI": url,
+             "WARC-Date": ts.astimezone(_dt.timezone.utc)
+                            .strftime(WARC_DATE_FMT)},
+            http))
+        n += 1
+    data = buf.getvalue()
+    if compress:
+        # mtime=0 → byte-deterministic output for a given input
+        data = gzip.compress(data, mtime=0)
+    with open(path, "wb") as f:
+        f.write(data)
+    return n
+
+
+def synth_warc(path: str, n_pages: int, seed: int = 42,
+               *, compress: bool = False) -> int:
+    """Deterministic synthetic WARC from the same generator as the parquet
+    corpus — byte-reproducible from (seed, n_pages) alone."""
+    from ..synth import gen_rows
+    rows = [(u, ts, html) for u, ts, html, _text, _lang
+            in gen_rows(seed, range(n_pages))]
+    return write_warc(path, rows, compress=compress)
+
+
+def iter_warc_records(data: bytes):
+    """Yield (url, warc_ts, html_bytes) for each response record.
+
+    Spec-driven walk: find the next ``WARC/1.0`` version line, parse the
+    header block, then skip exactly Content-Length body bytes — never
+    scanning the body for markers."""
+    pos = 0
+    while True:
+        idx = data.find(b"WARC/1.0", pos)
+        if idx < 0:
+            return
+        hdr_end = data.find(b"\r\n\r\n", idx)
+        if hdr_end < 0:
+            return
+        headers = {}
+        for line in data[idx:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get(b"content-length", b""))
+        except ValueError:
+            pos = hdr_end + 4  # malformed record: resync on next version line
+            continue
+        body = data[hdr_end + 4:hdr_end + 4 + clen]
+        pos = hdr_end + 4 + clen
+        if headers.get(b"warc-type") != b"response":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+        try:
+            ts = _dt.datetime.strptime(
+                headers.get(b"warc-date", b"").decode("ascii"),
+                WARC_DATE_FMT).replace(tzinfo=_dt.timezone.utc)
+        except ValueError:
+            ts = None
+        http_split = body.split(b"\r\n\r\n", 1)
+        html = http_split[1] if len(http_split) == 2 else b""
+        yield url, ts, html
+
+
+def read_warc(spark, path: str):
+    """WARC file(s)/glob → DataFrame with the pages schema — a drop-in
+    ``run_pipeline`` source. One binaryFile task per segment, record split
+    inside the task, no shuffle (pinned in tests/test_warc.py)."""
+    from ..pipeline.schema import PAGES_SCHEMA
+
+    blobs = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if p.endswith(".gz"):
+                    data = gzip.decompress(data)
+                for url, ts, html in iter_warc_records(data):
+                    out.append((url, ts, html, "", ""))
+            yield pd.DataFrame(
+                out, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return blobs.mapInPandas(split, schema=PAGES_SCHEMA)
