@@ -1,1 +1,3 @@
-from .warc import read_warc, synth_warc, write_warc  # noqa: F401
+from .warc import (  # noqa: F401
+    read_warc, read_wet, synth_warc, write_warc, write_wet,
+)

@@ -82,8 +82,9 @@ def synth_warc(path: str, n_pages: int, seed: int = 42,
     return write_warc(path, rows, compress=compress)
 
 
-def iter_warc_records(data: bytes):
-    """Yield (url, warc_ts, html_bytes) for each response record.
+def iter_warc_records(data: bytes, types: tuple[bytes, ...] = (b"response",)):
+    """Yield (url, warc_ts, body_bytes) for each record of the requested
+    WARC-Type(s) (``response`` = crawl HTML, ``conversion`` = WET text).
 
     Spec-driven walk: find the next ``WARC/1.0`` version line, parse the
     header block, then skip exactly Content-Length body bytes — never
@@ -107,7 +108,7 @@ def iter_warc_records(data: bytes):
             continue
         body = data[hdr_end + 4:hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen
-        if headers.get(b"warc-type") != b"response":
+        if headers.get(b"warc-type") not in types:
             continue
         url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
         try:
@@ -116,9 +117,11 @@ def iter_warc_records(data: bytes):
                 WARC_DATE_FMT).replace(tzinfo=_dt.timezone.utc)
         except ValueError:
             ts = None
-        http_split = body.split(b"\r\n\r\n", 1)
-        html = http_split[1] if len(http_split) == 2 else b""
-        yield url, ts, html
+        if headers.get(b"warc-type") == b"response":
+            # response bodies wrap the payload in an HTTP message
+            http_split = body.split(b"\r\n\r\n", 1)
+            body = http_split[1] if len(http_split) == 2 else b""
+        yield url, ts, body
 
 
 def read_warc(spark, path: str):
@@ -143,3 +146,74 @@ def read_warc(spark, path: str):
                 out, columns=["url", "warc_ts", "html", "text", "lang"])
 
     return blobs.mapInPandas(split, schema=PAGES_SCHEMA)
+
+
+def write_wet(parsed_df, out_dir: str) -> list:
+    """Distributed WET sink — Common Crawl's extracted-text format: each
+    task writes its partition as one ``.warc.wet.gz`` segment of
+    ``conversion`` records (plain-text body, no HTTP wrapper), the same
+    one-file-per-task shape the WARC reader consumes. Executors write
+    directly to the (shared) output filesystem and the driver gets back a
+    tiny (path, n_records) manifest — the extracted corpus itself never
+    flows through the driver.
+
+    Input: any DataFrame with (url, warc_ts, main_text) — e.g.
+    ``{out}/parsed`` from run_pipeline."""
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def w(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        buf = io.BytesIO()
+        buf.write(_warc_record("warcinfo",
+                               {"WARC-Filename": os.path.basename(path)},
+                               b"format: WET\r\n"))
+        n = 0
+        for pdf in batches:
+            for url, ts, text in zip(pdf["url"], pdf["warc_ts"],
+                                     pdf["main_text"]):
+                ts = ts.to_pydatetime()
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=_dt.timezone.utc)
+                buf.write(_warc_record(
+                    "conversion",
+                    {"WARC-Target-URI": url,
+                     "WARC-Date": ts.astimezone(_dt.timezone.utc)
+                                    .strftime(WARC_DATE_FMT),
+                     "Content-Type": "text/plain"},
+                    (text or "").encode("utf-8")))
+                n += 1
+        if n:
+            with open(path, "wb") as f:
+                f.write(gzip.compress(buf.getvalue(), mtime=0))
+        yield pd.DataFrame({"path": [path if n else None],
+                            "n_records": [n]})
+
+    manifest = (parsed_df.select("url", "warc_ts", "main_text")
+                .mapInPandas(w, schema="path string, n_records long")
+                .collect())
+    return [(r["path"], r["n_records"]) for r in manifest if r["path"]]
+
+
+def read_wet(spark, path: str):
+    """WET file(s)/glob → DataFrame (url, warc_ts, text) — same
+    one-file-per-task, no-shuffle shape as read_warc."""
+    blobs = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if p.endswith(".gz"):
+                    data = gzip.decompress(data)
+                for url, ts, body in iter_warc_records(
+                        data, types=(b"conversion",)):
+                    out.append((url, ts, body.decode("utf-8", "replace")))
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "text"])
+
+    return blobs.mapInPandas(
+        split, schema="url string, warc_ts timestamp, text string")

@@ -30,9 +30,13 @@ def main(argv=None):
     ap.add_argument("--no-extract", action="store_true")
     ap.add_argument("--synth", type=int, default=None,
                     help="generate N synthetic pages instead of reading --src")
+    ap.add_argument("--warc", default=None,
+                    help="read input from WARC file(s)/glob instead of --src")
+    ap.add_argument("--wet-out", default=None,
+                    help="also write the extracted text as WET segments here")
     args = ap.parse_args(argv)
-    if not args.src and not args.synth:
-        ap.error("either --src or --synth N is required")
+    if not args.src and not args.synth and not args.warc:
+        ap.error("one of --src, --warc, or --synth N is required")
 
     # Import AFTER spark-submit has placed the --py-files zip on sys.path —
     # this is exactly what executor Python workers do too.
@@ -44,6 +48,9 @@ def main(argv=None):
     src = args.src
     if args.synth:
         src = synth_pages(spark, args.synth, seed=42)
+    elif args.warc:
+        from htmlparser_spark.sources import read_warc
+        src = read_warc(spark, args.warc)
     metrics = run_pipeline(
         spark, src, args.out,
         num_partitions=args.partitions,
@@ -52,6 +59,12 @@ def main(argv=None):
         resume=not args.no_resume,
         extract=not args.no_extract,
     )
+    if args.wet_out:
+        from htmlparser_spark.sources import write_wet
+        segs = write_wet(
+            spark.read.parquet(f"{args.out}/parsed"), args.wet_out)
+        metrics = dict(metrics, wet_segments=len(segs),
+                       wet_records=sum(n for _p, n in segs))
     print(json.dumps({k: (int(v) if v is not None else None)
                       for k, v in metrics.items()}))
     spark.stop()

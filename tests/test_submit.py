@@ -29,7 +29,8 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
          "--conf", "spark.sql.shuffle.partitions=4",
          "--py-files", zip_path,
          os.path.join(REPO, "scripts", "run_job.py"),
-         "--synth", "60", "--out", out],
+         "--synth", "60", "--out", out,
+         "--wet-out", str(tmp_path / "wet")],
         cwd=str(tmp_path), env=env, capture_output=True, text=True,
         timeout=600)
     assert res.returncode == 0, res.stderr[-3000:]
@@ -39,3 +40,5 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     assert metrics["ok_pages"] > 0
     assert os.path.exists(os.path.join(out, "parsed"))
     assert os.path.exists(os.path.join(out, "_lineage"))
+    assert metrics["wet_segments"] >= 1
+    assert metrics["wet_records"] > 0

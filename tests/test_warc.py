@@ -91,3 +91,24 @@ def test_warc_pipeline_source_equivalent_to_dataframe_source(spark, tmp_path):
             .select("url", "warc_ts", "status", "main_text").collect())
 
     assert parsed(read_warc(spark, p), "o_warc") == parsed(direct, "o_df")
+
+
+def test_wet_sink_round_trip(spark, tmp_path):
+    from htmlparser_spark.sources import read_wet, write_wet
+
+    n = 30
+    p = str(tmp_path / "seg.warc.gz")
+    synth_warc(p, n, seed=7, compress=True)
+    run_pipeline(spark, read_warc(spark, p), str(tmp_path / "out"),
+                 resume=False)
+    parsed = spark.read.parquet(str(tmp_path / "out" / "parsed"))
+    segs = write_wet(parsed, str(tmp_path / "wet"))
+    assert segs and sum(k for _p, k in segs) == parsed.count()
+    assert all(path.endswith(".warc.wet.gz") for path, _k in segs)
+    back = read_wet(spark, str(tmp_path / "wet" / "*.warc.wet.gz"))
+    exp = sorted((r["url"], r["warc_ts"], r["main_text"] or "")
+                 for r in parsed.select("url", "warc_ts",
+                                        "main_text").collect())
+    got = sorted((r["url"], r["warc_ts"], r["text"])
+                 for r in back.collect())
+    assert got == exp  # extracted text survives the WET container exactly
