@@ -29,6 +29,7 @@ import datetime as _dt
 import gzip
 import io
 import os
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -82,13 +83,45 @@ def synth_warc(path: str, n_pages: int, seed: int = 42,
     return write_warc(path, rows, compress=compress)
 
 
-def iter_warc_records(data: bytes, types: tuple[bytes, ...] = (b"response",)):
+def _gunzip_salvage(data: bytes) -> tuple[bytes, bool]:
+    """Decode a (possibly multi-member) gzip stream, returning every byte
+    that decodes cleanly plus a truncated/corrupt flag. At 100k-segment
+    scale a handful of segments WILL be cut short by a crawler crash or a
+    partial upload; one bad file must cost its tail, not the whole job
+    (``gzip.decompress`` would throw and fail the task)."""
+    out, pos, bad = [], 0, False
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=47)  # 47 = gzip wrapper, max window
+        try:
+            out.append(d.decompress(data[pos:]))
+            out.append(d.flush())
+        except zlib.error:
+            bad = True
+            break
+        if not d.eof:            # stream ended mid-member
+            bad = True
+            break
+        if not d.unused_data:    # clean end of last member
+            break
+        pos = len(data) - len(d.unused_data)
+    return b"".join(out), bad
+
+
+def iter_warc_records(data: bytes, types: tuple[bytes, ...] = (b"response",),
+                      stats: dict | None = None):
     """Yield (url, warc_ts, body_bytes) for each record of the requested
     WARC-Type(s) (``response`` = crawl HTML, ``conversion`` = WET text).
 
     Spec-driven walk: find the next ``WARC/1.0`` version line, parse the
     header block, then skip exactly Content-Length body bytes — never
-    scanning the body for markers."""
+    scanning the body for markers. Malformed records (bad/missing
+    Content-Length) resync on the next version line; a record cut off by
+    end-of-buffer is dropped, never yielded short. ``stats`` (optional
+    dict) is incremented in place: ``malformed``, ``truncated``."""
+    if stats is None:
+        stats = {}
+    stats.setdefault("malformed", 0)
+    stats.setdefault("truncated", 0)
     pos = 0
     while True:
         idx = data.find(b"WARC/1.0", pos)
@@ -96,6 +129,7 @@ def iter_warc_records(data: bytes, types: tuple[bytes, ...] = (b"response",)):
             return
         hdr_end = data.find(b"\r\n\r\n", idx)
         if hdr_end < 0:
+            stats["truncated"] += 1  # header block runs off the buffer
             return
         headers = {}
         for line in data[idx:hdr_end].split(b"\r\n")[1:]:
@@ -104,8 +138,12 @@ def iter_warc_records(data: bytes, types: tuple[bytes, ...] = (b"response",)):
         try:
             clen = int(headers.get(b"content-length", b""))
         except ValueError:
+            stats["malformed"] += 1
             pos = hdr_end + 4  # malformed record: resync on next version line
             continue
+        if hdr_end + 4 + clen > len(data):
+            stats["truncated"] += 1  # body cut off: drop, don't yield short
+            return
         body = data[hdr_end + 4:hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen
         if headers.get(b"warc-type") not in types:
@@ -139,13 +177,45 @@ def read_warc(spark, path: str):
             for p, blob in zip(pdf["path"], pdf["content"]):
                 data = bytes(blob)
                 if p.endswith(".gz"):
-                    data = gzip.decompress(data)
+                    data, _bad = _gunzip_salvage(data)
                 for url, ts, html in iter_warc_records(data):
                     out.append((url, ts, html, "", ""))
             yield pd.DataFrame(
                 out, columns=["url", "warc_ts", "html", "text", "lang"])
 
     return blobs.mapInPandas(split, schema=PAGES_SCHEMA)
+
+
+def warc_scan_stats(spark, path: str):
+    """Per-segment health scan → DataFrame (path, records, malformed,
+    truncated, gzip_corrupt). The triage query an operator runs BEFORE
+    pointing the pipeline at a new crawl drop: it reads every segment with
+    the exact same salvage/resync logic as ``read_warc`` (so its counts ARE
+    the records the pipeline would see), one file per task, no shuffle.
+    A fleet-wide rollup is a plain aggregate over its output."""
+
+    blobs = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                corrupt = False
+                if p.endswith(".gz"):
+                    data, corrupt = _gunzip_salvage(data)
+                st: dict = {}
+                n = sum(1 for _ in iter_warc_records(data, stats=st))
+                out.append((p, n, st["malformed"], st["truncated"],
+                            corrupt))
+            yield pd.DataFrame(
+                out, columns=["path", "records", "malformed", "truncated",
+                              "gzip_corrupt"])
+
+    return blobs.mapInPandas(
+        scan, schema="path string, records long, malformed long, "
+                     "truncated long, gzip_corrupt boolean")
 
 
 def write_wet(parsed_df, out_dir: str) -> list:
@@ -186,8 +256,15 @@ def write_wet(parsed_df, out_dir: str) -> list:
                     (text or "").encode("utf-8")))
                 n += 1
         if n:
-            with open(path, "wb") as f:
+            # Write-then-rename so a killed/speculative task attempt never
+            # leaves a half-written segment where a reader (or a retry of
+            # THIS task) can see it: the rename is atomic on POSIX, and a
+            # second attempt renaming over the first is byte-identical
+            # (deterministic gzip, same partition contents).
+            tmp = f"{path}.attempt-{TaskContext.get().attemptNumber()}.tmp"
+            with open(tmp, "wb") as f:
                 f.write(gzip.compress(buf.getvalue(), mtime=0))
+            os.replace(tmp, path)
         yield pd.DataFrame({"path": [path if n else None],
                             "n_records": [n]})
 
@@ -209,7 +286,7 @@ def read_wet(spark, path: str):
             for p, blob in zip(pdf["path"], pdf["content"]):
                 data = bytes(blob)
                 if p.endswith(".gz"):
-                    data = gzip.decompress(data)
+                    data, _bad = _gunzip_salvage(data)
                 for url, ts, body in iter_warc_records(
                         data, types=(b"conversion",)):
                     out.append((url, ts, body.decode("utf-8", "replace")))

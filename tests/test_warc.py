@@ -93,6 +93,93 @@ def test_warc_pipeline_source_equivalent_to_dataframe_source(spark, tmp_path):
     assert parsed(read_warc(spark, p), "o_warc") == parsed(direct, "o_df")
 
 
+def test_warc_truncated_record_dropped_not_yielded_short():
+    ts = "2025-01-01T00:00:00Z"
+    good = _warc_record("response",
+                        {"WARC-Target-URI": "https://a/1", "WARC-Date": ts},
+                        b"HTTP/1.1 200 OK\r\n\r\n<html>ok</html>")
+    cut = _warc_record("response",
+                       {"WARC-Target-URI": "https://a/2", "WARC-Date": ts},
+                       b"HTTP/1.1 200 OK\r\n\r\n<html>long body</html>")
+    st = {}
+    recs = list(iter_warc_records(good + cut[:-20], stats=st))
+    # the cut-off record is dropped entirely, never yielded with short body
+    assert [r[0] for r in recs] == ["https://a/1"]
+    assert st["truncated"] == 1 and st["malformed"] == 0
+
+
+def test_gunzip_salvage_truncated_and_corrupt(tmp_path):
+    import gzip
+
+    from htmlparser_spark.sources.warc import _gunzip_salvage
+
+    a, b = gzip.compress(b"alpha", mtime=0), gzip.compress(b"beta", mtime=0)
+    # clean multi-member stream → everything, no flag
+    assert _gunzip_salvage(a + b) == (b"alphabeta", False)
+    # second member cut mid-stream → first member salvaged, flagged
+    out, bad = _gunzip_salvage(a + b[:len(b) // 2])
+    assert out.startswith(b"alpha") and bad
+    # garbage where a member should start → salvage prefix, flagged
+    out, bad = _gunzip_salvage(a + b"\x00not gzip at all")
+    assert out == b"alpha" and bad
+
+
+def test_read_warc_survives_corrupt_segment(spark, tmp_path):
+    # one good segment + one truncated segment: the job completes and
+    # yields every record of the good one plus the salvageable prefix of
+    # the bad one — a bad file costs its tail, not the whole job
+    good = str(tmp_path / "good.warc.gz")
+    n_good = synth_warc(good, 20, seed=3, compress=True)
+    bad_src = str(tmp_path / "tmp.warc.gz")
+    synth_warc(bad_src, 20, seed=4, compress=True)
+    blob = open(bad_src, "rb").read()
+    with open(str(tmp_path / "bad.warc.gz"), "wb") as f:
+        f.write(blob[:len(blob) // 2])
+    os.remove(bad_src)
+    total = read_warc(spark, str(tmp_path / "*.warc.gz")).count()
+    n_bad = read_warc(spark, str(tmp_path / "bad.warc.gz")).count()
+    assert total == n_good + n_bad  # good segment fully intact
+    assert 0 < n_bad < 20           # bad one salvaged a proper prefix
+
+
+def test_warc_scan_stats(spark, tmp_path):
+    from htmlparser_spark.sources.warc import warc_scan_stats
+
+    clean = str(tmp_path / "clean.warc.gz")
+    n = synth_warc(clean, 15, seed=5, compress=True)
+    src = str(tmp_path / "t.warc.gz")
+    synth_warc(src, 15, seed=6, compress=True)
+    blob = open(src, "rb").read()
+    with open(str(tmp_path / "cut.warc.gz"), "wb") as f:
+        f.write(blob[:len(blob) * 2 // 3])
+    os.remove(src)
+    rows = {os.path.basename(r["path"]): r
+            for r in warc_scan_stats(spark,
+                                     str(tmp_path / "*.warc.gz")).collect()}
+    assert rows["clean.warc.gz"]["records"] == n
+    assert not rows["clean.warc.gz"]["gzip_corrupt"]
+    assert rows["clean.warc.gz"]["truncated"] == 0
+    cut = rows["cut.warc.gz"]
+    assert cut["gzip_corrupt"]
+    assert cut["records"] < n  # salvaged prefix only
+    # stats agree with what read_warc would actually yield
+    got = read_warc(spark, str(tmp_path / "cut.warc.gz")).count()
+    assert cut["records"] == got
+
+
+def test_wet_write_leaves_no_tmp_files(spark, tmp_path):
+    from htmlparser_spark.sources import read_warc, write_wet
+
+    p = str(tmp_path / "seg.warc.gz")
+    synth_warc(p, 10, seed=7, compress=True)
+    run_pipeline(spark, read_warc(spark, p), str(tmp_path / "out"),
+                 resume=False)
+    parsed = spark.read.parquet(str(tmp_path / "out" / "parsed"))
+    write_wet(parsed, str(tmp_path / "wet"))
+    names = os.listdir(str(tmp_path / "wet"))
+    assert names and all(x.endswith(".warc.wet.gz") for x in names), names
+
+
 def test_wet_sink_round_trip(spark, tmp_path):
     from htmlparser_spark.sources import read_wet, write_wet
 
