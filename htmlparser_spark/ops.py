@@ -1774,3 +1774,149 @@ def corpus_curation_pipeline(spark, sf_dir):
             .filter(F.col("host_rank") <= HOST_CAP)
             .select("doc_id", "source", "n_words", "quality_score",
                     "lang_pred", "host_rank"))
+
+
+# --- UT1-style URL filtering -----------------------------------------------------------
+
+URL_BLOCK_HOSTS = ["src3.example.com", "src7.example.com", "src11.example.com"]
+URL_MAX_LEN = 120
+URL_MAX_PARAMS = 3
+URL_MAX_DIGIT_FRAC = 0.2
+
+
+def corpus_url_filter(spark, sf_dir):
+    """URL-rule filtering — the RefinedWeb/UT1 pre-crawl-fetch gate: reject
+    a document by its URL alone via (a) a host blocklist (UT1's adult/spam
+    domain lists are the production instance), (b) spam path keywords
+    (/tag/, /search), (c) excessive query parameters, (d) digit-heavy
+    URLs, (e) over-long URLs. Each doc's messy URL is synthesized
+    deterministically from doc_id residues (the documents table has no url
+    column); every rule class is exercised. Output: one row per doc with
+    the fired rule list (sorted, comma-joined) and the keep flag.
+
+    Scale shape: the real UT1 blocklist is ~4M hosts — small next to the
+    corpus, so it BROADCASTS and the membership test is a map-side hash
+    join on the extracted host; every other rule is codegen string
+    arithmetic on the URL itself. No shuffle of the corpus at any scale;
+    output is map-side narrow all the way."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example.com/"),
+        F.when(F.col("doc_id") % 11 == 0, "tag/").otherwise("p/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 17 == 0, "/91234567890123456789")
+         .otherwise(""),
+        F.when(F.col("doc_id") % 13 == 0, "?a=1&b=2&c=3&d=4").otherwise(""),
+        F.when(F.col("doc_id") % 23 == 0,
+               F.concat(F.lit("?ref="), F.repeat(F.lit("x"), 110)))
+         .otherwise(""))
+    host = F.regexp_extract(url, "^[a-z]+://([^/:?#]+)", 1)
+    block = spark.createDataFrame(
+        [(h,) for h in URL_BLOCK_HOSTS], "host string")
+    u = (d.select("doc_id", url.alias("url"), host.alias("host"))
+         .join(F.broadcast(block.withColumn("blocked", F.lit(1))),
+               "host", "left"))
+    n_params = F.length("url") - F.length(F.regexp_replace("url", "=", ""))
+    n_digits = (F.length("url")
+                - F.length(F.regexp_replace("url", "[0-9]", "")))
+    rules = F.array_compact(F.array(
+        F.when(F.col("blocked").isNotNull(), "blocklist"),
+        F.when(F.col("url").rlike("/(tag|search)/"), "path_keyword"),
+        F.when(n_params > URL_MAX_PARAMS, "too_many_params"),
+        F.when(n_digits.cast("double") / F.length("url")
+               > URL_MAX_DIGIT_FRAC, "digit_heavy"),
+        F.when(F.length("url") > URL_MAX_LEN, "too_long")))
+    return u.select(
+        "doc_id", "url",
+        F.array_join(F.array_sort(rules), ",").alias("reject_reasons"),
+        (F.size(rules) == 0).cast("int").alias("keep"))
+
+
+# --- Bloom-filter membership dedup -----------------------------------------------------
+
+BLOOM_M = 8192  # bits
+BLOOM_K = 3     # hash functions
+
+
+def dedup_bloom(spark, sf_dir):
+    """Bloom-filter dedup of a new ingest batch against history — the
+    constant-memory scale path when the historical corpus is too big to
+    join per ingest: history's content hashes are folded into an m-bit
+    Bloom filter ONCE (here materialized as its ≤m set bit positions);
+    each new doc tests its k=3 bit positions against the broadcast filter.
+    maybe_dup = all k bits set (Bloom positive, possibly false); is_dup =
+    exact content match (ground truth) — together they expose the
+    filter's observed false-positive rate, the number a deployment tunes
+    m/k by. Split convention matches dedup_incremental (doc_id % 5 == 0 is
+    the new batch).
+
+    Scale shape: the filter is O(m) bits REGARDLESS of history size — the
+    one structure that still broadcasts when history is 10^12 docs.
+    History folds map-side to ≤m distinct positions (partial distinct
+    below the exchange); the probe is a broadcast hash join; the
+    ground-truth join broadcasts the small new batch's hashes. Per-ingest
+    cost is O(|batch| + m), independent of |history|."""
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", F.md5("text").alias("h")))
+    is_new = F.col("doc_id") % INC_NEW_MOD == 0
+    pos = [(_portable_hash32(F.col("h"), F.lit(f"bloom{j}")) % BLOOM_M)
+           .alias("pos") for j in range(BLOOM_K)]
+    hist_bits = (docs.filter(~is_new)
+                 .select(F.explode(F.array(*pos)).alias("pos"))
+                 .distinct())
+    new_pos = (docs.filter(is_new)
+               .select("doc_id", "h", F.explode(F.array(*pos)).alias("pos")))
+    bloom_hit = (new_pos
+                 .join(F.broadcast(hist_bits.withColumn("set_", F.lit(1))),
+                       "pos", "left")
+                 .groupBy("doc_id", "h")
+                 .agg((F.sum(F.coalesce(F.col("set_"), F.lit(0)))
+                       == BLOOM_K).cast("int").alias("maybe_dup")))
+    hist_h = docs.filter(~is_new).select("h").distinct()
+    truth = (bloom_hit.join(F.broadcast(hist_h.withColumn("t", F.lit(1))),
+                            "h", "left")
+             .select("doc_id", "maybe_dup",
+                     F.coalesce(F.col("t"), F.lit(0)).alias("is_dup")))
+    return truth.select("doc_id", "maybe_dup", "is_dup")
+
+
+# --- hashing-trick quality-classifier inference ----------------------------------------
+
+QC_BUCKETS = 1024
+
+
+def text_quality_classifier(spark, sf_dir):
+    """fastText-shaped quality-classifier INFERENCE (the CCNet/LLaMA
+    "wikiref" filter stage): a linear model over hashed bag-of-words —
+    token → bucket via the portable 32-bit hash, bucket → fixed weight
+    (a deterministic stand-in for trained parameters, derived from the
+    bucket id's own hash so the DuckDB oracle regenerates it exactly),
+    document score = sigmoid(4 · mean token weight). Where
+    text_dsir_weights FITS its statistics from the corpus, this op applies
+    a FROZEN model — the production split between training the classifier
+    (offline, once) and scoring the crawl (every ingest).
+
+    Scale shape: the weight table is QC_BUCKETS rows generated by
+    spark.range — broadcast; token hashing is map-side codegen; the only
+    shuffle is |distinct (doc,bucket)| with partial counts below the
+    exchange. No UDF anywhere."""
+    weights = (spark.range(QC_BUCKETS).select(
+        F.col("id").alias("b"),
+        ((_portable_hash32(F.col("id").cast("string"), F.lit("qcw"))
+          % 2001 - 1000).cast("double") / 1000.0).alias("w")))
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    tb = (d.select("doc_id", F.explode(words).alias("tok"))
+          .select("doc_id",
+                  (_portable_hash32(F.col("tok"), F.lit("qc"))
+                   % QC_BUCKETS).alias("b"))
+          .groupBy("doc_id", "b").agg(F.count("*").alias("k")))
+    score = (tb.join(F.broadcast(weights), "b")
+             .groupBy("doc_id")
+             .agg(F.sum("k").alias("n_tokens"),
+                  (F.sum(F.col("k") * F.col("w")) / F.sum("k")).alias("s")))
+    p = 1.0 / (1.0 + F.exp(-4.0 * F.col("s")))
+    return score.select(
+        "doc_id", "n_tokens",
+        F.round(p, 6).alias("quality_p"),
+        (F.round(p, 6) >= 0.5).cast("int").alias("label_keep"))

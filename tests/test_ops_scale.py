@@ -131,3 +131,50 @@ def test_cc_handles_high_degree_hub(spark):
     labels = {r.doc_id: r.cluster_id
               for r in ops._cc_labels(df, max_iters=4).collect()}
     assert all(labels.get(i, i) == 0 for i in range(501))
+
+
+def test_bloom_never_false_negative(spark, tmp_path):
+    """Bloom guarantee: every exact duplicate of history MUST test
+    positive (maybe_dup ⊇ is_dup); uniques may false-positive but the
+    ground-truth column separates them."""
+    # doc_id % 5 == 0 is the new batch; give ids 0,5,10 history twins and
+    # ids 15,20 fresh content
+    rows = {0: "alpha beta gamma", 5: "delta epsilon zeta",
+            10: "eta theta iota", 15: "totally new content one",
+            20: "totally new content two",
+            1: "alpha beta gamma", 2: "delta epsilon zeta",
+            3: "eta theta iota", 4: "other history doc",
+            6: "more history text"}
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        [(i, t, len(t), "en", "web") for i, t in sorted(rows.items())],
+        "doc_id long, text string, n_chars long, lang string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {r.doc_id: r for r in ops.dedup_bloom(spark, sf_dir).collect()}
+    assert set(got) == {0, 5, 10, 15, 20}
+    for i in (0, 5, 10):
+        assert got[i].is_dup == 1 and got[i].maybe_dup == 1, got[i]
+    for i in (15, 20):
+        assert got[i].is_dup == 0  # maybe_dup may be 0 or a rare FP
+
+
+def test_url_filter_each_rule_fires(spark, tmp_path):
+    """Every rule class fires on its residue and a clean doc keeps."""
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    docs = [(1, "clean", "srcA"), (11, "tagpath", "srcA"),
+            (13, "params", "srcA"), (17, "digits", "srcA"),
+            (23, "long", "srcA"), (2, "blocked", "src3")]
+    spark.createDataFrame(
+        [(i, t, len(t), "en", s) for i, t, s in docs],
+        "doc_id long, text string, n_chars long, lang string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {r.doc_id: r for r in ops.corpus_url_filter(spark, sf_dir).collect()}
+    assert got[1].keep == 1 and got[1].reject_reasons == ""
+    assert got[11].reject_reasons == "path_keyword"
+    assert got[13].reject_reasons == "too_many_params"
+    assert got[17].reject_reasons == "digit_heavy"
+    assert got[23].reject_reasons == "too_long"
+    assert got[2].reject_reasons == "blocklist"
+    assert all(got[i].keep == 0 for i in (11, 13, 17, 23, 2))

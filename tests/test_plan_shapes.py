@@ -172,3 +172,31 @@ def test_curation_pipeline_keeps_host_cap_pushdown(spark):
     p = plan_of(ops.corpus_curation_pipeline(spark, SF))
     assert "WindowGroupLimit" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_url_filter_map_only_broadcast_blocklist(spark):
+    """URL-rule filtering must stay map-side narrow at any corpus size:
+    the blocklist joins as a BROADCAST hash join on host and nothing in
+    the op shuffles the corpus (zero Exchange of the documents scan)."""
+    p = plan_of(ops.corpus_url_filter(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    # the only exchange allowed is the broadcast of the tiny blocklist
+    assert "Exchange hashpartitioning" not in p, p
+
+
+def test_bloom_probe_broadcasts_filter_bits(spark):
+    """The Bloom probe must broadcast the (≤ m)-row bit-position set and
+    the history hash set — per-ingest cost independent of history size.
+    The only hash exchanges key the NEW batch's per-doc aggregate."""
+    p = plan_of(ops.dedup_bloom(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_quality_classifier_broadcasts_weights(spark):
+    """Frozen-classifier inference: the QC_BUCKETS-row weight table is
+    broadcast; shuffles key (doc_id, bucket) counts / per-doc reduce,
+    never raw tokens joined wide."""
+    p = plan_of(ops.text_quality_classifier(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
