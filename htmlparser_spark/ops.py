@@ -1920,3 +1920,138 @@ def text_quality_classifier(spark, sf_dir):
         "doc_id", "n_tokens",
         F.round(p, 6).alias("quality_p"),
         (F.round(p, 6) >= 0.5).cast("int").alias("label_keep"))
+
+
+# --- C4-style global line dedup --------------------------------------------------------
+
+LINE_WORDS = 10        # deterministic "line" stand-in: 10-word chunks
+LINE_DUP_MIN = 3       # C4: any line occurring >= 3 times is boilerplate
+
+
+def text_line_dedup(spark, sf_dir):
+    """C4-style global LINE dedup (Raffel et al., JMLR'20 §2.2: "we
+    discarded any line that occurred more than [twice] in the data set") —
+    the boilerplate-killer that removes nav bars, cookie banners and
+    footers appearing verbatim across thousands of pages. The synthetic
+    corpus has no newlines, so a "line" is a deterministic stand-in:
+    consecutive non-overlapping LINE_WORDS-word chunks (the last chunk
+    keeps the remainder). Every occurrence of any line with global
+    occurrence count >= LINE_DUP_MIN is removed and the text rebuilt from
+    the surviving words.
+
+    Scale shape: the frequency aggregate keys on the line HASH with
+    map-side partial counts — hot boilerplate lines (the entire point:
+    a cookie banner occurs 10^8 times) collapse to one row per partition
+    before the exchange, so skew self-heals. The duplicate-line table is
+    tiny relative to |distinct lines| and AQE broadcasts it back onto the
+    per-doc line table; the rebuild is a codegen HOF filter. Shuffle
+    volume is |lines| + |dup hits| — never |words|."""
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.filter(F.split("text", " "),
+                          lambda w: w != "").alias("ws")))
+    nw = F.size("ws")
+    idx = F.sequence(F.lit(0), F.ceil(nw / F.lit(LINE_WORDS)).cast("int") - 1)
+    lines = (d.filter(nw > 0)
+             .select("doc_id", F.explode(idx).alias("i"),
+                     F.md5(F.array_join(
+                         F.slice("ws", F.col("i") * LINE_WORDS + 1,
+                                 F.lit(LINE_WORDS)), " ")).alias("lh")))
+    dup = (lines.groupBy("lh").agg(F.count("*").alias("n_occ"))
+           .filter(F.col("n_occ") >= LINE_DUP_MIN))
+    rm = (lines.join(dup, "lh")
+          .groupBy("doc_id").agg(F.collect_set("i").alias("rm")))
+    rm_arr = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    kept = F.filter(F.col("ws"),
+                    lambda w, i: ~F.array_contains(
+                        rm_arr, F.floor(i / LINE_WORDS).cast("int")))
+    return (d.join(rm, "doc_id", "left")
+            .select("doc_id",
+                    F.ceil(nw / F.lit(LINE_WORDS)).cast("int")
+                    .alias("n_lines"),
+                    F.size(rm_arr).alias("n_removed_lines"),
+                    F.md5(F.array_join(kept, " ")).alias("clean_md5")))
+
+
+# --- CCNet head/middle/tail perplexity bucketing ---------------------------------------
+
+
+def corpus_ppl_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split: per language, rank documents by LM
+    perplexity and cut into terciles — head (lowest ppl) is the
+    publication-quality slice, tail the likely-garbage slice that CCNet
+    drops or downweights. Buckets come from ntile(3) over (ppl, doc_id)
+    within lang, so the assignment is exact and deterministic.
+
+    Scale shape: reuses text_lm_perplexity's plan (broadcast LM, per-doc
+    reduce); the tercile window shuffles ONE (doc_id, ppl) row per doc —
+    never text — keyed on lang. The exact per-lang sort is the price of
+    exact terciles; the 10^12-doc variant computes approximate cutoffs on
+    a sample, broadcasts the two numbers per lang, and assigns map-side —
+    the bucket SEMANTICS pinned here are what that approximation must
+    converge to."""
+    ppl = text_lm_perplexity(spark, sf_dir).select("doc_id", "ppl")
+    langs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("ppl").asc(), F.col("doc_id").asc())
+    return (ppl.join(langs, "doc_id")
+            .withColumn("t", F.ntile(3).over(w))
+            .select("doc_id", "lang", "ppl",
+                    F.element_at(F.array(F.lit("head"), F.lit("middle"),
+                                         F.lit("tail")),
+                                 F.col("t")).alias("bucket")))
+
+
+# --- host-graph PageRank ---------------------------------------------------------------
+
+PR_ITERS = 4
+PR_SCALE = 10 ** 12  # fixed-point rank unit (integer arithmetic end-to-end)
+
+
+def host_pagerank(spark, sf_dir):
+    """Link-graph host quality — PageRank power iteration over the host
+    graph, the signal Common Crawl itself publishes (harmonic-centrality
+    host ranks) and curation pipelines join against as a keep/weight
+    prior. The documents table has no link column, so a deterministic
+    host graph is synthesized over the distinct sources (edge a→b exists
+    iff the portable hash of 'a>b' ≡ 0 mod 4). All arithmetic is FIXED
+    POINT (ranks in units of 1e-12, integer div/floor) so long sums are
+    order-independent and Spark and DuckDB agree bit-exactly — a float
+    PageRank would hash-diverge on summation order. Dangling mass is
+    dropped (the standard simplified iteration); damping 0.85 as 85/100
+    integer ops; PR_ITERS=4 fixed rounds.
+
+    Scale shape: each round is |edges| shuffle (join ranks on src, sum
+    per dst) — at web scale edges are pre-partitioned by src ONCE and
+    every round's join reuses that partitioning, while the rank vector
+    (|hosts| rows, small next to |edges|) broadcasts. Per-round plan
+    truncation (localCheckpoint) keeps the iterative lineage from
+    swamping the analyzer — the lesson _cc_labels pins."""
+    hosts = (_t(spark, sf_dir, "documents")
+             .select("source").distinct()
+             .withColumnRenamed("source", "host"))
+    nh = hosts.agg(F.count("*").alias("n"))
+    edges = (hosts.select(F.col("host").alias("src"))
+             .crossJoin(hosts.select(F.col("host").alias("dst")))
+             .filter(F.col("src") != F.col("dst"))
+             .filter(_portable_hash32(
+                 F.concat_ws(">", "src", "dst"), F.lit("link")) % 4 == 0))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    base = F.expr(f"({PR_SCALE} * 15 div 100) div n")
+    r = (hosts.crossJoin(F.broadcast(nh))
+         .select("host", F.expr(f"{PR_SCALE} div n").alias("r")))
+    for it in range(PR_ITERS):
+        contrib = (edges
+                   .join(r.withColumnRenamed("host", "src"), "src")
+                   .join(outdeg, "src")
+                   .select(F.col("dst").alias("host"),
+                           F.expr("r div deg").alias("c")))
+        agg = contrib.groupBy("host").agg(F.sum("c").alias("s"))
+        r = _plan_truncated(
+            (hosts.join(agg, "host", "left")
+             .crossJoin(F.broadcast(nh))
+             .select("host",
+                     (base + F.expr("85 * coalesce(s, 0) div 100"))
+                     .alias("r"))),
+            f"pagerank_iter{it}")
+    return r.select("host", F.col("r").alias("rank_fp"))

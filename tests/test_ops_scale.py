@@ -178,3 +178,43 @@ def test_url_filter_each_rule_fires(spark, tmp_path):
     assert got[23].reject_reasons == "too_long"
     assert got[2].reject_reasons == "blocklist"
     assert all(got[i].keep == 0 for i in (11, 13, 17, 23, 2))
+
+
+def test_line_dedup_removes_global_boilerplate(spark, tmp_path):
+    """A 10-word chunk repeated across >= 3 docs is removed from ALL of
+    them; unique chunks survive byte-exact."""
+    import hashlib
+    banner = "accept cookies to continue using this site thank you kindly"
+    uniq = ["u{0}a u{0}b u{0}c u{0}d u{0}e u{0}f u{0}g u{0}h u{0}i u{0}j"
+            .format(i) for i in range(4)]
+    rows = [f"{banner} {uniq[i]}" for i in range(3)] + [uniq[3]]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    got = {r.doc_id: r for r in ops.text_line_dedup(spark, sf_dir).collect()}
+    for i in range(3):
+        assert got[i].n_lines == 2 and got[i].n_removed_lines == 1
+        assert got[i].clean_md5 == hashlib.md5(
+            uniq[i].encode()).hexdigest()  # banner gone, unique tail kept
+    assert got[3].n_removed_lines == 0
+    assert got[3].clean_md5 == hashlib.md5(uniq[3].encode()).hexdigest()
+
+
+def test_pagerank_fixed_point_properties(spark, tmp_path):
+    """Fixed-point PageRank invariants: determinism across runs (integer
+    arithmetic), total mass bounded by the scale unit, every host at
+    least the teleport term."""
+    rows = [f"doc for host {i}" for i in range(6)]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        [(i, t, len(t), "en", f"h{i % 6}") for i, t in enumerate(rows)],
+        "doc_id long, text string, n_chars long, lang string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    a = sorted((r.host, r.rank_fp)
+               for r in ops.host_pagerank(spark, sf_dir).collect())
+    b = sorted((r.host, r.rank_fp)
+               for r in ops.host_pagerank(spark, sf_dir).collect())
+    assert a == b  # bit-identical re-run
+    n = 6
+    base = (ops.PR_SCALE * 15 // 100) // n
+    assert all(r >= base for _h, r in a)
+    assert sum(r for _h, r in a) <= ops.PR_SCALE  # mass never created

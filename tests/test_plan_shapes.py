@@ -200,3 +200,22 @@ def test_quality_classifier_broadcasts_weights(spark):
     p = plan_of(ops.text_quality_classifier(spark, SF))
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_line_dedup_no_cartesian_no_python(spark):
+    """C4 line dedup must stay hash-keyed: line-hash frequency aggregate
+    with partial counts, equi-join back, HOF rebuild — no pair blowup, no
+    Python eval."""
+    p = plan_of(ops.text_line_dedup(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p, p
+    assert "partial_count" in p, p
+
+
+def test_ppl_buckets_one_doc_row_through_window(spark):
+    """The tercile window must shuffle one (doc_id, ppl) row per doc keyed
+    on lang — never text — and the LM stays a broadcast join."""
+    p = plan_of(ops.corpus_ppl_buckets(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "ntile(3)" in p, p
+    assert "hashpartitioning(lang" in p, p
