@@ -2030,12 +2030,20 @@ def host_pagerank(spark, sf_dir):
     hosts = (_t(spark, sf_dir, "documents")
              .select("source").distinct()
              .withColumnRenamed("source", "host"))
-    nh = hosts.agg(F.count("*").alias("n"))
     edges = (hosts.select(F.col("host").alias("src"))
              .crossJoin(hosts.select(F.col("host").alias("dst")))
              .filter(F.col("src") != F.col("dst"))
              .filter(_portable_hash32(
                  F.concat_ws(">", "src", "dst"), F.lit("link")) % 4 == 0))
+    return pagerank_fixed_point(hosts, edges)
+
+
+def pagerank_fixed_point(hosts: DataFrame, edges: DataFrame) -> DataFrame:
+    """The PR_ITERS-round integer power iteration shared by host_pagerank
+    (synthetic graph) and the kernel-derived link graph (link_pagerank in
+    __spark_entry__). hosts: (host), edges: (src, dst) — both deduplicated.
+    Returns (host, rank_fp) in PR_SCALE units."""
+    nh = hosts.agg(F.count("*").alias("n"))
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     base = F.expr(f"({PR_SCALE} * 15 div 100) div n")
     r = (hosts.crossJoin(F.broadcast(nh))

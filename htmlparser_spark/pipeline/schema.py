@@ -57,6 +57,33 @@ NODES_SCHEMA = StructType([
     StructField("is_anchor_desc", BooleanType()),
 ])
 
+# Web-graph stage output (kernel/links.py): one row per <a href> outlink.
+# (url, warc_ts) is the page key; seq is the anchor's document-order index.
+LINKS_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("seq", IntegerType()),
+    StructField("href", StringType()),
+    StructField("href_abs", StringType()),
+    StructField("dst_host", StringType()),
+    StructField("anchor", StringType()),
+    StructField("nofollow", BooleanType()),
+])
+
+# Per-page indexing metadata (kernel/links.py): <base>, <meta robots>,
+# <link rel=canonical>, <meta name=description>.
+PAGE_META_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("status", StringType()),
+    StructField("base_href", StringType()),
+    StructField("canonical", StringType()),
+    StructField("robots_noindex", BooleanType()),
+    StructField("robots_nofollow", BooleanType()),
+    StructField("meta_description", StringType()),
+    StructField("n_links", LongType()),
+])
+
 # Per-partition lineage manifest (S9). Carries the byte/error tallies as
 # well so job-level metrics are a sum over ≤4096 manifest rows — never a
 # scan of the sink.

@@ -1,0 +1,187 @@
+"""Web-graph stage tests: RFC 3986 href resolution against the effective
+base, <meta robots>/<link rel=canonical>/<base> parsing, rel=nofollow
+tokenization, the bounded anchor-text walk, error-page partial extraction,
+the Spark links/meta stages, and the link_host_graph plan shape."""
+import os
+import sys
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from htmlparser_spark.kernel.links import (
+    ANCHOR_TEXT_CAP, parse_page_graph)
+from htmlparser_spark.pipeline.links_stage import links_batch, page_meta_batch
+from htmlparser_spark.pipeline.schema import LINKS_SCHEMA, PAGE_META_SCHEMA
+from htmlparser_spark.synth_links import gen_link_page, synth_link_pages
+
+PAGE = "https://www.Example.org/a/b/index.html"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (SparkSession.builder.master("local[4]")
+         .appName("links-tests")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+    yield s
+    s.stop()
+
+
+def _links(html, url=PAGE):
+    return parse_page_graph(html.encode("utf-8"), url)
+
+
+def _hrefs(r):
+    return [(link[2], link[3]) for link in r["links"]]  # (href_abs, dst_host)
+
+
+def test_resolution_without_base():
+    r = _links('<html><body><div><a href="x/y.html">t </div>'
+               '<div><a href="/root.html">t </div>'
+               '<div><a href="../up.html">t </div>'
+               '<div><a href="//other.example/p">t </div>'
+               '<div><a href="?q=1#f">t </div></body></html>')
+    assert _hrefs(r) == [
+        ("https://www.Example.org/a/b/x/y.html", "www.example.org"),
+        ("https://www.Example.org/root.html", "www.example.org"),
+        ("https://www.Example.org/a/up.html", "www.example.org"),
+        ("https://other.example/p", "other.example"),
+        ("https://www.Example.org/a/b/index.html?q=1#f", "www.example.org"),
+    ]
+
+
+def test_first_base_wins_and_applies():
+    r = _links('<html><head><base href="https://cdn.example/assets/">'
+               '<base href="https://wrong.example/"></head>'
+               '<body><div><a href="img/x">t </div>'
+               '<div><a href="/abs">t </div></body></html>')
+    assert r["base_href"] == "https://cdn.example/assets/"
+    assert _hrefs(r) == [
+        ("https://cdn.example/assets/img/x", "cdn.example"),
+        ("https://cdn.example/abs", "cdn.example"),
+    ]
+
+
+def test_relative_base_resolves_against_page_url():
+    r = _links('<html><head><base href="/b/"></head>'
+               '<body><div><a href="p.html">t </div></body></html>')
+    assert _hrefs(r) == [("https://www.Example.org/b/p.html",
+                          "www.example.org")]
+
+
+def test_non_http_schemes_have_no_host_edge():
+    r = _links('<html><body><div><a href="javascript:void(0)">t </div>'
+               '<div><a href="mailto:a@b.c">t </div>'
+               '<div><a href="HTTPS://UP.EXAMPLE/P">t </div></body></html>')
+    # urljoin normalizes the scheme to lowercase; the host keeps its case in
+    # href_abs but dst_host is lowercased for grouping
+    assert _hrefs(r) == [("javascript:void(0)", ""),
+                        ("mailto:a@b.c", ""),
+                        ("https://UP.EXAMPLE/P", "up.example")]
+
+
+def test_nofollow_rel_tokens_and_page_level_meta():
+    r = _links('<html><body><div><a href="/a" rel="NoFollow">t </div>'
+               '<div><a href="/b" rel="sponsored ugc">t </div>'
+               '<div><a href="/c" rel="x,nofollow">t </div></body></html>')
+    assert [link[5] for link in r["links"]] == [True, False, True]
+    r2 = _links('<html><head><meta name="ROBOTS" content="nofollow"></head>'
+                '<body><div><a href="/a">t </div></body></html>')
+    assert r2["robots_nofollow"] and not r2["robots_noindex"]
+    assert [link[5] for link in r2["links"]] == [True]  # page-level wins
+    r3 = _links('<html><head><meta name="robots" content="NONE"></head>'
+                '<body></body></html>')
+    assert r3["robots_noindex"] and r3["robots_nofollow"]
+
+
+def test_canonical_description_and_duplicate_href():
+    r = _links('<html><head>'
+               '<link rel="stylesheet" href="/s.css">'
+               '<link rel="Canonical" href="/canon">'
+               '<link rel="canonical" href="/second">'
+               '<meta name="description" content="first desc">'
+               '<meta name="description" content="second">'
+               '</head><body>'
+               '<div><a href="/real" href="/dup">t </div></body></html>')
+    assert r["canonical"] == "https://www.Example.org/canon"  # first wins
+    assert r["meta_description"] == "first desc"
+    assert _hrefs(r) == [("https://www.Example.org/real", "www.example.org")]
+
+
+def test_anchor_without_href_is_not_a_link():
+    r = _links('<html><body><div><a name="x">t </div></body></html>')
+    assert r["links"] == []
+
+
+def test_anchor_text_is_bounded():
+    # Q9: block end tags are ignored, so the anchor never closes and its
+    # subtree runs to end-of-document — the bounded walk must cap it.
+    body = "<div><a href=\"/x\">start " + ("word " * 500) + "</div>"
+    r = _links(f"<html><body>{body}</body></html>")
+    (seq, raw, ab, host, anchor, nf), = r["links"]
+    assert len(anchor) == ANCHOR_TEXT_CAP
+    assert anchor.startswith("start word")
+
+
+def test_error_page_yields_partial_links():
+    # </a> hits the reference's in-body any-other-end-tag throw; links
+    # collected before the failure point must survive with err status.
+    r = _links('<html><body><div><a href="/kept">t </a>'
+               '<div><a href="/after">t </div></body></html>')
+    assert r["status"] == "err:not-implemented:in-body-any-other-end-tag"
+    assert [h for h, _ in _hrefs(r)] == ["https://www.Example.org/kept"]
+
+
+def test_null_and_invalid_inputs():
+    r = parse_page_graph(None, PAGE)
+    assert r["status"] == "err:null-input" and r["links"] == []
+    r2 = parse_page_graph(b"\xff\xfe plain", PAGE)
+    assert r2["links"] == []
+
+
+def test_synth_corpus_is_deterministic_and_parses_ok():
+    a = gen_link_page(42, 17)
+    b = gen_link_page(42, 17)
+    assert a == b
+    for i in range(40):
+        url, ts, html, _, _lang = gen_link_page(42, i)
+        assert parse_page_graph(html, url)["status"] == "ok"
+
+
+def test_spark_stages_schemas_and_consistency(spark):
+    pages = synth_link_pages(spark, 60, seed=42, partitions=2)
+    links = pages.mapInPandas(links_batch, schema=LINKS_SCHEMA)
+    meta = pages.mapInPandas(page_meta_batch, schema=PAGE_META_SCHEMA)
+    # n_links in the meta table must equal the exploded per-page count
+    per_page = links.groupBy("url").agg(F.count("*").alias("n"))
+    joined = (meta.join(per_page, "url", "left")
+              .select("n_links", F.coalesce("n", F.lit(0)).alias("n")))
+    bad = joined.filter(F.col("n_links") != F.col("n")).count()
+    assert bad == 0
+    assert meta.count() == 60
+    # seq is a dense 0..n-1 per page
+    mx = (links.groupBy("url")
+          .agg(F.count("*").alias("n"), (F.max("seq") + 1).alias("m"))
+          .filter(F.col("n") != F.col("m")).count())
+    assert mx == 0
+
+
+def test_link_host_graph_plan_shape(spark):
+    """Scale pin: the edge rollup must partial-aggregate below its exchange
+    (a hub host pair collapses map-side) and never produce a cartesian or
+    per-row Python after the kernel stage."""
+    import __spark_entry__ as entry
+
+    df = entry.link_host_graph(spark, "")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial_finalmerge" in plan.lower() \
+        or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # exactly one source parse: synth expand + links kernel, nothing more
+    assert plan.count("MapInPandas") == 2
