@@ -45,7 +45,8 @@ def decode_input(html) -> str:
 
 
 def parse_html(html, fast: bool = True, extract: bool = True,
-               want_dom: bool = True, want_nodes: bool = False) -> dict:
+               want_dom: bool = True, want_nodes: bool = False,
+               want_links: bool = False, page_url: str = "") -> dict:
     """Tokenize + tree-construct + serialize + extract one document.
 
     Returns a dict with:
@@ -58,13 +59,21 @@ def parse_html(html, fast: bool = True, extract: bool = True,
       errors    {error_code: count} incl. tokenizer codes + "parse error"
       n_nodes / n_elements
       nodes     optional arena rows for the exploded nodes table
+      links/base_href/canonical/robots_*/meta_description
+                optional web-graph outputs (want_links; kernel/links.py) —
+                resolved against page_url, extracted from the same DOM so
+                one parse serves both the extraction and link sinks
     """
     try:
         units = decode_input(html)
     except KernelError as e:
-        return {"status": e.code, "dom_s": "", "text": "", "title": "",
-                "main_text": "", "spans": [], "errors": {}, "n_nodes": 0,
-                "n_elements": 0, "nodes": [] if want_nodes else None}
+        out = {"status": e.code, "dom_s": "", "text": "", "title": "",
+               "main_text": "", "spans": [], "errors": {}, "n_nodes": 0,
+               "n_elements": 0, "nodes": [] if want_nodes else None}
+        if want_links:
+            from .links import _EMPTY_META
+            out.update(_EMPTY_META, links=[])
+        return out
     parser = Parser(units, fast=fast)
     status = OK
     try:
@@ -79,7 +88,8 @@ def parse_html(html, fast: bool = True, extract: bool = True,
             # pathological document per-char so fast mode is bit-identical
             # to the oracle everywhere, including these rows.
             return parse_html(html, fast=False, extract=extract,
-                              want_dom=want_dom, want_nodes=want_nodes)
+                              want_dom=want_dom, want_nodes=want_nodes,
+                              want_links=want_links, page_url=page_url)
     except RecursionError:
         status = "err:recursion-limit"
 
@@ -125,7 +135,19 @@ def parse_html(html, fast: bool = True, extract: bool = True,
     if text is None:
         text = to_wellformed(doc.child_text_content())
 
+    link_out = {}
+    if want_links:
+        from .links import _EMPTY_META, extract_links
+        try:
+            links, meta = extract_links(doc, page_url)
+        except RecursionError:
+            if status == OK:
+                status = "err:recursion-limit"
+            links, meta = [], dict(_EMPTY_META)
+        link_out = {"links": links, **meta}
+
     return {
+        **link_out,
         "status": status,
         "dom_s": dom_s,
         "text": text,

@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .kernel_stage import parse_batch
-from .schema import LINEAGE_SCHEMA, PAGES_SCHEMA, PARSED_SCHEMA
+from .schema import (
+    LINEAGE_SCHEMA, PAGES_SCHEMA, PARSED_FULL_SCHEMA, PARSED_SCHEMA)
 
 DEFAULT_SALT_THRESHOLD = 1 << 20  # pages larger than 1 MiB get their own tier
 KERNEL_INPUT_COLS = ("url", "warc_ts", "html", "lang")
@@ -222,9 +223,20 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
                  *, num_partitions: int | None = None,
                  salt_threshold: int = DEFAULT_SALT_THRESHOLD,
                  lang: str | None = None, dedup: bool = True,
-                 resume: bool = True, extract: bool = True) -> dict:
+                 resume: bool = True, extract: bool = True,
+                 emit_links: bool = False) -> dict:
     """Full job. Returns a metrics dict (S8). Output layout:
-    ``{out_dir}/parsed`` (parquet), ``{out_dir}/_lineage`` (parquet).
+    ``{out_dir}/parsed`` (parquet), ``{out_dir}/_lineage`` (parquet), and
+    with ``emit_links=True`` also ``{out_dir}/links`` (parquet).
+
+    emit_links: ONE parse serves two sinks. The kernel additionally builds
+    the web-graph columns (outlinks array + robots/canonical/base metadata,
+    kernel/links.py); the parsed sink carries them, and the exploded links
+    table is derived by reading the just-written sink back (a columnar scan
+    of the links column — at 100 TB of html the raw bytes are parsed
+    exactly once, never twice). Resume stays incremental: only partitions
+    (re)written this run are re-exploded, under the same dynamic partition
+    overwrite as the parsed sink.
     """
     if isinstance(src, str):
         df = read_pages(spark, src, lang=lang)
@@ -301,7 +313,9 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
         # repartition + size-tier salting (S3/S4) worth a raw-page shuffle
         df = repartition_pages(df, num_partitions,
                                salt_threshold=salt_threshold)
-    parsed = parse_pages(df, extract=extract)
+    out_columns = ([f.name for f in PARSED_FULL_SCHEMA.fields]
+                   if emit_links else None)
+    parsed = parse_pages(df, extract=extract, columns=out_columns)
     # the single exchange: parsed rows, keyed on part_key — it clusters the
     # partitionBy(part_key) sink AND (because part_key is a function of url)
     # co-locates every snapshot of a url for the dedup window below
@@ -356,6 +370,21 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
         new_lineage = new_lineage.unionByName(
             spark.createDataFrame(done_rows, LINEAGE_SCHEMA))
     new_lineage.write.mode("overwrite").parquet(lineage_path)
+
+    if emit_links:
+        # exploded links table from the sink just written — `inc` scans only
+        # this run's partitions (isin prunes at planning) and parquet reads
+        # only the key + links columns, so a resume run neither re-parses
+        # nor re-reads completed partitions' text
+        links_path = os.path.join(out_dir, "links")
+        link_rows = (inc.select("part_key", "url", "warc_ts",
+                                F.explode("links").alias("l"))
+                     .select("part_key", "url", "warc_ts", "l.seq", "l.href",
+                             "l.href_abs", "l.dst_host", "l.anchor",
+                             "l.nofollow"))
+        (link_rows.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("part_key").parquet(links_path))
 
     # job metrics come from the manifest (≤ PART_KEY_BUCKETS rows — the
     # write above just computed it), never from a scan of the sink; the

@@ -11,33 +11,40 @@ from typing import Iterator
 import pandas as pd
 
 from ..kernel.api import parse_html
-from .schema import NODES_SCHEMA, PARSED_SCHEMA
+from .schema import NODES_SCHEMA, PARSED_FULL_SCHEMA, PARSED_SCHEMA
 
 _COLS = [f.name for f in PARSED_SCHEMA.fields]
-_FIELDS = {f.name: f for f in PARSED_SCHEMA.fields}
+_FULL_COLS = [f.name for f in PARSED_FULL_SCHEMA.fields]
+_FIELDS = {f.name: f for f in PARSED_FULL_SCHEMA.fields}
+# web-graph columns (kernel/links.py) — built only when a consumer names
+# them (run_pipeline(emit_links=True)); never part of the default schema
+_LINK_COLS = frozenset(_FULL_COLS) - frozenset(_COLS)
 
 
 def parsed_schema(columns=None):
-    """PARSED_SCHEMA, or the canonical-ordered subset named by `columns`.
-    Output-column pruning for the Python stage: Catalyst cannot prune
-    through mapInPandas (the udf output is opaque to it), so a consumer
-    that only needs e.g. status/counters declares its columns here and the
-    kernel skips building + Arrow-shipping everything else — the manual
-    equivalent of the column pruning every JVM operator gets for free."""
+    """PARSED_SCHEMA, or the canonical-ordered subset named by `columns`
+    (which may also name the optional web-graph columns from
+    PARSED_FULL_SCHEMA). Output-column pruning for the Python stage:
+    Catalyst cannot prune through mapInPandas (the udf output is opaque to
+    it), so a consumer that only needs e.g. status/counters declares its
+    columns here and the kernel skips building + Arrow-shipping everything
+    else — the manual equivalent of the column pruning every JVM operator
+    gets for free."""
     if columns is None:
         return PARSED_SCHEMA
     want = set(columns)
-    unknown = want - set(_COLS)
+    unknown = want - set(_FULL_COLS)
     if unknown:
         raise ValueError(f"unknown parsed columns: {sorted(unknown)}")
-    return type(PARSED_SCHEMA)([_FIELDS[c] for c in _COLS if c in want])
+    return type(PARSED_SCHEMA)([_FIELDS[c] for c in _FULL_COLS if c in want])
 
 
 def parse_batch(batches: Iterator[pd.DataFrame], extract: bool = True,
                 columns=None) -> Iterator[pd.DataFrame]:
-    cols = _COLS if columns is None else [c for c in _COLS
+    cols = _COLS if columns is None else [c for c in _FULL_COLS
                                           if c in set(columns)]
     want = set(cols)
+    want_links = bool(want & _LINK_COLS)
     w_title = "title" in want
     w_text = "text" in want
     w_main = "main_text" in want
@@ -69,8 +76,20 @@ def parse_batch(batches: Iterator[pd.DataFrame], extract: bool = True,
                                    else [0] * n)
         kernel_lists = {c: [] for c in cols if c not in out}
         status = kernel_lists.get("status")
-        for html in htmls:
-            r = parse_html(html, fast=True, extract=extract, want_dom=False)
+        urls = pdf["url"].tolist() if want_links else [None] * n
+        for html, page_url in zip(htmls, urls):
+            r = parse_html(html, fast=True, extract=extract, want_dom=False,
+                           want_links=want_links, page_url=page_url or "")
+            if want_links:
+                if "links" in want:
+                    kernel_lists["links"].append(
+                        [{"seq": s, "href": h, "href_abs": ha,
+                          "dst_host": d, "anchor": a, "nofollow": nf}
+                         for s, h, ha, d, a, nf in r["links"]])
+                for c in ("base_href", "canonical", "robots_noindex",
+                          "robots_nofollow", "meta_description"):
+                    if c in want:
+                        kernel_lists[c].append(r[c])
             if status is not None:
                 status.append(r["status"])
             if w_title:

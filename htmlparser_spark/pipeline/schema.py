@@ -57,6 +57,33 @@ NODES_SCHEMA = StructType([
     StructField("is_anchor_desc", BooleanType()),
 ])
 
+# One <a href> outlink as a nested struct (the combined-kernel variant:
+# parse_batch with link columns carries links as an array per page, so ONE
+# parse of the raw html serves both the extraction sink and the exploded
+# links sink — run_pipeline(emit_links=True)).
+LINK_TYPE = StructType([
+    StructField("seq", IntegerType()),
+    StructField("href", StringType()),
+    StructField("href_abs", StringType()),
+    StructField("dst_host", StringType()),
+    StructField("anchor", StringType()),
+    StructField("nofollow", BooleanType()),
+])
+
+# Optional web-graph columns parse_batch can emit in ADDITION to
+# PARSED_SCHEMA (kernel_stage.parsed_schema selects them by name; default
+# consumers never build or ship them).
+PARSED_LINK_FIELDS = [
+    StructField("links", ArrayType(LINK_TYPE)),
+    StructField("base_href", StringType()),
+    StructField("canonical", StringType()),
+    StructField("robots_noindex", BooleanType()),
+    StructField("robots_nofollow", BooleanType()),
+    StructField("meta_description", StringType()),
+]
+
+PARSED_FULL_SCHEMA = StructType(PARSED_SCHEMA.fields + PARSED_LINK_FIELDS)
+
 # Web-graph stage output (kernel/links.py): one row per <a href> outlink.
 # (url, warc_ts) is the page key; seq is the anchor's document-order index.
 LINKS_SCHEMA = StructType([

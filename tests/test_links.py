@@ -185,3 +185,59 @@ def test_link_host_graph_plan_shape(spark):
     assert "BatchEvalPython" not in plan
     # exactly one source parse: synth expand + links kernel, nothing more
     assert plan.count("MapInPandas") == 2
+
+
+def test_run_pipeline_emit_links_matches_stage(spark, tmp_path):
+    """emit_links=True: one parse, two sinks — the exploded links table
+    must equal the standalone links_batch stage on the same corpus, and the
+    parsed sink must carry the metadata columns."""
+    from pyspark.sql import functions as F
+
+    from htmlparser_spark.pipeline.job import run_pipeline
+
+    out = str(tmp_path / "job")
+    pages = synth_link_pages(spark, 50, seed=42, partitions=2)
+    m = run_pipeline(spark, pages, out, num_partitions=4, emit_links=True)
+    assert m["pages"] == 50 and m["ok_pages"] == 50
+    sink = spark.read.parquet(out + "/links")
+    stage = pages.mapInPandas(links_batch, schema=LINKS_SCHEMA)
+    key = ["url", "seq", "href", "href_abs", "dst_host", "anchor", "nofollow"]
+    got = sorted(tuple(r) for r in sink.select(*key).collect())
+    exp = sorted(tuple(r) for r in stage.select(*key).collect())
+    assert got == exp and len(got) > 0
+    parsed = spark.read.parquet(out + "/parsed")
+    for c in ("links", "robots_noindex", "canonical", "meta_description"):
+        assert c in parsed.columns
+    # per-page consistency inside the one sink
+    bad = (parsed.select("url", F.size("links").alias("s"))
+           .join(sink.groupBy("url").agg(F.count("*").alias("n")),
+                 "url", "left")
+           .filter(F.col("s") != F.coalesce("n", F.lit(0))).count())
+    assert bad == 0
+
+
+def test_run_pipeline_emit_links_idempotent_rerun(spark, tmp_path):
+    """Re-running over the same input must leave both sinks unchanged
+    (dynamic partition overwrite + resume anti-join)."""
+    from htmlparser_spark.pipeline.job import run_pipeline
+
+    out = str(tmp_path / "job")
+    pages = synth_link_pages(spark, 40, seed=42, partitions=2)
+    run_pipeline(spark, pages, out, num_partitions=4, emit_links=True)
+    first = sorted(map(tuple, spark.read.parquet(out + "/links").collect()))
+    m2 = run_pipeline(spark, pages, out, num_partitions=4, emit_links=True)
+    second = sorted(map(tuple, spark.read.parquet(out + "/links").collect()))
+    assert first == second
+    assert m2["pages"] == 40  # manifest still accounts for every page
+
+
+def test_default_pipeline_has_no_link_columns(spark, tmp_path):
+    """emit_links defaults off: the kernel must not build or ship the
+    web-graph columns and the parsed sink schema stays PARSED_SCHEMA."""
+    from htmlparser_spark.pipeline.job import run_pipeline
+
+    out = str(tmp_path / "job")
+    pages = synth_link_pages(spark, 20, seed=42, partitions=2)
+    run_pipeline(spark, pages, out, num_partitions=2)
+    cols = set(spark.read.parquet(out + "/parsed").columns)
+    assert "links" not in cols and "canonical" not in cols
