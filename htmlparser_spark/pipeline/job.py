@@ -365,17 +365,15 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
     kept_keys = [r.part_key for r in done_rows]  # complete manifest rows only
     inc = (out.filter(~F.col("part_key").isin(kept_keys))
            if kept_keys else out)
-    new_lineage = lineage_of(inc)
-    if done_rows:
-        new_lineage = new_lineage.unionByName(
-            spark.createDataFrame(done_rows, LINEAGE_SCHEMA))
-    new_lineage.write.mode("overwrite").parquet(lineage_path)
-
     if emit_links:
         # exploded links table from the sink just written — `inc` scans only
         # this run's partitions (isin prunes at planning) and parquet reads
         # only the key + links columns, so a resume run neither re-parses
-        # nor re-reads completed partitions' text
+        # nor re-reads completed partitions' text. MUST happen BEFORE the
+        # lineage write: once a part_key is in the manifest the next resume
+        # skips it for good, so every derived sink has to be durable first —
+        # a crash anywhere in between re-parses the unrecorded partitions
+        # and dynamic overwrite makes the re-writes idempotent.
         links_path = os.path.join(out_dir, "links")
         link_rows = (inc.select("part_key", "url", "warc_ts",
                                 F.explode("links").alias("l"))
@@ -385,6 +383,12 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
         (link_rows.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("part_key").parquet(links_path))
+
+    new_lineage = lineage_of(inc)
+    if done_rows:
+        new_lineage = new_lineage.unionByName(
+            spark.createDataFrame(done_rows, LINEAGE_SCHEMA))
+    new_lineage.write.mode("overwrite").parquet(lineage_path)
 
     # job metrics come from the manifest (≤ PART_KEY_BUCKETS rows — the
     # write above just computed it), never from a scan of the sink; the

@@ -241,3 +241,52 @@ def test_default_pipeline_has_no_link_columns(spark, tmp_path):
     run_pipeline(spark, pages, out, num_partitions=2)
     cols = set(spark.read.parquet(out + "/parsed").columns)
     assert "links" not in cols and "canonical" not in cols
+
+
+def test_emit_links_crash_window_resume(spark, tmp_path):
+    """Crash between the parsed-sink commit and the lineage write must not
+    leave holes in the links sink: the unrecorded part_keys are re-parsed
+    on resume and BOTH sinks are re-overwritten (links is written before
+    the manifest, so a manifest entry implies a durable links partition)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from htmlparser_spark.pipeline.job import run_pipeline
+    from htmlparser_spark.pipeline.schema import LINEAGE_SCHEMA
+
+    out = str(tmp_path / "job")
+    pages = synth_link_pages(spark, 60, seed=42, partitions=2)
+    run_pipeline(spark, pages, out, num_partitions=4, emit_links=True)
+    links_path = os.path.join(out, "links")
+    lineage_path = os.path.join(out, "_lineage")
+    full = sorted(map(tuple, spark.read.parquet(links_path).collect()))
+
+    # simulate the crash: parsed sink committed for every part_key, but for
+    # half the keys neither the links partition nor the manifest row exists
+    keys = sorted(int(d.split("=")[1]) for d in os.listdir(links_path)
+                  if d.startswith("part_key="))
+    lost = keys[::2]
+    for k in lost:
+        shutil.rmtree(os.path.join(links_path, f"part_key={k}"))
+    kept_lineage = (spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path)
+                    .filter(~F.col("part_key").isin(lost)).collect())
+    shutil.rmtree(lineage_path)
+    (spark.createDataFrame(kept_lineage, LINEAGE_SCHEMA)
+     .write.mode("overwrite").parquet(lineage_path))
+    assert sorted(map(tuple, spark.read.parquet(links_path).collect())) != full
+
+    run_pipeline(spark, pages, out, num_partitions=4, emit_links=True)
+    after = sorted(map(tuple, spark.read.parquet(links_path).collect()))
+    assert after == full
+
+
+def test_link_anchor_targets_plan_has_window_group_limit(spark):
+    """The per-host top-k must run as WindowGroupLimit (map-side rank
+    pushdown), not a full per-host sort of all anchor tokens."""
+    import __spark_entry__ as entry
+
+    df = entry.link_anchor_targets(spark, "")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
