@@ -193,3 +193,44 @@ def run_stream_once(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
         # Spark's reader (not os.path) so hdfs://-s3a:// sinks work too.
         return {"rows_total": 0}
     return {"rows_total": n}
+
+
+def links_stream(pages: DataFrame) -> DataFrame:
+    """Web-graph stage on a stream: links_batch is stateless, so the SAME
+    Arrow kernel that serves the batch path (pipeline/links_stage.py) is
+    legal per micro-batch — each drop of crawl pages yields its outlink
+    rows incrementally."""
+    from ..pipeline.links_stage import links_batch
+    from ..pipeline.schema import LINKS_SCHEMA
+    return pages.mapInPandas(links_batch, schema=LINKS_SCHEMA)
+
+
+def write_links_stream(links: DataFrame, out_dir: str,
+                       trigger_available_now: bool = True):
+    """Exactly-once links sink (own commit log, independent of the parsed
+    sink's checkpoint so the two streams can run and recover separately)."""
+    writer = (links.writeStream
+              .format("parquet")
+              .option("path", os.path.join(out_dir, "links"))
+              .option("checkpointLocation",
+                      os.path.join(out_dir, "_links_checkpoint"))
+              .outputMode("append"))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_links_stream_once(spark: SparkSession, src_dir: str,
+                          out_dir: str) -> dict:
+    """Drain pending page drops into out_dir/links exactly once."""
+    from ..pipeline.schema import LINKS_SCHEMA
+
+    pages = read_page_stream(spark, src_dir)
+    q = write_links_stream(links_stream(pages), out_dir)
+    q.awaitTermination()
+    links_dir = os.path.join(out_dir, "links")
+    try:
+        n = spark.read.schema(LINKS_SCHEMA).parquet(links_dir).count()
+    except AnalysisException:
+        return {"links_total": 0}
+    return {"links_total": n}

@@ -178,3 +178,35 @@ def test_stream_dedup_drops_redelivered_snapshots(spark, tmp_path):
     q.awaitTermination()
     urls = [r.url for r in spark.sql("select url from dedup_out").collect()]
     assert len(urls) == len(set(urls)) == 30
+
+
+def test_links_stream_incremental_and_matches_batch(spark, tmp_path):
+    """Streaming web-graph stage: exactly-once drains, incremental on new
+    drops, and row-identical to the batch links stage on the same pages."""
+    from htmlparser_spark.pipeline.links_stage import links_batch
+    from htmlparser_spark.pipeline.schema import LINKS_SCHEMA
+    from htmlparser_spark.streaming.job import run_links_stream_once
+    from htmlparser_spark.synth_links import synth_link_pages
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    d1 = synth_link_pages(spark, 30, seed=42, partitions=2)
+    d1.write.mode("overwrite").parquet(os.path.join(src, "drop1"))
+
+    r1 = run_links_stream_once(spark, src, out)
+    assert r1["links_total"] > 0
+    r2 = run_links_stream_once(spark, src, out)  # nothing new: no growth
+    assert r2["links_total"] == r1["links_total"]
+
+    d2 = synth_link_pages(spark, 20, seed=7, partitions=2)
+    d2.write.mode("overwrite").parquet(os.path.join(src, "drop2"))
+    r3 = run_links_stream_once(spark, src, out)
+    assert r3["links_total"] > r2["links_total"]
+
+    got = (spark.read.schema(LINKS_SCHEMA)
+           .parquet(os.path.join(out, "links")))
+    exp = (d1.unionByName(d2).mapInPandas(links_batch, schema=LINKS_SCHEMA))
+    key = ["url", "seq", "href", "href_abs", "dst_host", "anchor", "nofollow"]
+    assert (sorted(tuple(r) for r in got.select(*key).collect())
+            == sorted(tuple(r) for r in exp.select(*key).collect()))
