@@ -34,6 +34,10 @@ def main(argv=None):
                     help="read input from WARC file(s)/glob instead of --src")
     ap.add_argument("--wet-out", default=None,
                     help="also write the extracted text as WET segments here")
+    ap.add_argument("--emit-links", action="store_true",
+                    help="also emit the web-graph outputs from the same "
+                         "parse: link columns in {out}/parsed plus the "
+                         "exploded {out}/links table")
     args = ap.parse_args(argv)
     if not args.src and not args.synth and not args.warc:
         ap.error("one of --src, --warc, or --synth N is required")
@@ -58,6 +62,7 @@ def main(argv=None):
         dedup=not args.no_dedup,
         resume=not args.no_resume,
         extract=not args.no_extract,
+        emit_links=args.emit_links,
     )
     if args.wet_out:
         from htmlparser_spark.sources import write_wet

@@ -30,7 +30,7 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
          "--py-files", zip_path,
          os.path.join(REPO, "scripts", "run_job.py"),
          "--synth", "60", "--out", out,
-         "--wet-out", str(tmp_path / "wet")],
+         "--wet-out", str(tmp_path / "wet"), "--emit-links"],
         cwd=str(tmp_path), env=env, capture_output=True, text=True,
         timeout=600)
     assert res.returncode == 0, res.stderr[-3000:]
@@ -42,3 +42,5 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(out, "_lineage"))
     assert metrics["wet_segments"] >= 1
     assert metrics["wet_records"] > 0
+    # --emit-links: the same submit also produced the web-graph sink
+    assert os.path.exists(os.path.join(out, "links"))
