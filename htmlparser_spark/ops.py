@@ -2063,3 +2063,25 @@ def pagerank_fixed_point(hosts: DataFrame, edges: DataFrame) -> DataFrame:
                      .alias("r"))),
             f"pagerank_iter{it}")
     return r.select("host", F.col("r").alias("rank_fp"))
+
+
+def corpus_datasheet(spark, sf_dir):
+    """Corpus datasheet in ONE scan: the per-(lang, source), per-lang,
+    per-source, and global document/char statistics a dataset card reports
+    — GROUPING SETS (cube) so Spark computes all four granularities from a
+    single pass with partial aggregation below one exchange, instead of
+    four scans + a union. gid disambiguates rollup NULLs from real NULL
+    group values (grouping_id bit order: lang is the high bit, matching
+    GROUPING(lang)*2 + GROUPING(source) in the DuckDB oracle). Scale
+    shape: output is |langs|·|sources| + |langs| + |sources| + 1 rows —
+    tiny at any corpus size; the expanded grouping-set rows partial-sum
+    map-side."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.cube("lang", "source")
+            .agg(F.grouping_id().cast("long").alias("gid"),
+                 F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.min("n_chars").cast("long").alias("min_chars"),
+                 F.max("n_chars").cast("long").alias("max_chars"),
+                 F.sum((F.col("n_chars") < 200).cast("long"))
+                 .alias("n_short")))
