@@ -290,3 +290,27 @@ def test_link_anchor_targets_plan_has_window_group_limit(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_emit_links_readback_prunes_columns(spark, tmp_path):
+    """Scale pin for the one-parse-two-sinks shape: deriving the links
+    table from the parsed sink must scan ONLY the page key + links columns
+    (ReadSchema), never the extracted text/spans — at 100 TB the explode
+    re-reads a sliver of the sink, not the corpus."""
+    from htmlparser_spark.pipeline.job import run_pipeline
+
+    out = str(tmp_path / "job")
+    pages = synth_link_pages(spark, 30, seed=42, partitions=2)
+    run_pipeline(spark, pages, out, num_partitions=4, emit_links=True)
+    df = spark.read.parquet(os.path.join(out, "parsed"))
+    link_rows = (df.select("part_key", "url", "warc_ts",
+                           F.explode("links").alias("l"))
+                 .select("part_key", "url", "warc_ts", "l.seq", "l.href"))
+    plan = link_rows._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "links:array" in schema
+    for heavy in ("main_text", "spans", "text:", "errors"):
+        assert heavy not in schema, schema
