@@ -20,9 +20,7 @@ from __future__ import annotations
 
 from urllib.parse import urljoin, urlsplit
 
-from .parser import Parser
-from .tokenizer import KernelError, to_wellformed
-from .api import OK, _BUDGET_CODES, decode_input
+from .tokenizer import to_wellformed
 
 _EMPTY_META = {
     "base_href": "", "canonical": "", "robots_noindex": False,
@@ -42,9 +40,17 @@ def _attr(node, name: str):
     return None
 
 
-def _tokens(value: str) -> set:
-    """Comma/whitespace-separated token set, lowercased — the grammar both
-    rel= and <meta robots content=> use."""
+def _rel_tokens(value: str) -> set:
+    """rel= is a set of ASCII-whitespace-separated tokens (HTML spec
+    'space-separated tokens') — a comma is PART of a token there, so
+    rel="foo,nofollow" is the single unknown token 'foo,nofollow', not a
+    nofollow."""
+    return {t for t in value.lower().split() if t}
+
+
+def _robots_tokens(value: str) -> set:
+    """<meta robots content=> directives are comma-separated (whitespace
+    around each directive ignored) per the robots-meta grammar."""
     return {t for t in value.lower().replace(",", " ").split() if t}
 
 
@@ -126,7 +132,7 @@ def extract_links(document, page_url: str) -> tuple[list, dict]:
         elif tag == "link":
             if canonical_raw is None:
                 rel = _attr(node, "rel")
-                if rel is not None and "canonical" in _tokens(rel):
+                if rel is not None and "canonical" in _rel_tokens(rel):
                     href = _attr(node, "href")
                     if href is not None:
                         canonical_raw = href
@@ -136,7 +142,7 @@ def extract_links(document, page_url: str) -> tuple[list, dict]:
             if name == "robots":
                 content = _attr(node, "content")
                 if content is not None:
-                    toks = _tokens(content)
+                    toks = _robots_tokens(content)
                     noindex = noindex or "noindex" in toks or "none" in toks
                     nofollow_page = (nofollow_page or "nofollow" in toks
                                      or "none" in toks)
@@ -157,7 +163,7 @@ def extract_links(document, page_url: str) -> tuple[list, dict]:
         href_abs = _safe_join(eff_base, href_raw)
         rel = _attr(node, "rel")
         nofollow = (nofollow_page
-                    or (rel is not None and "nofollow" in _tokens(rel)))
+                    or (rel is not None and "nofollow" in _rel_tokens(rel)))
         anchor_text = to_wellformed(_bounded_text(node))
         links.append((seq, href_raw, href_abs, _host_of(href_abs),
                       anchor_text, bool(nofollow)))
@@ -177,29 +183,16 @@ def extract_links(document, page_url: str) -> tuple[list, dict]:
 def parse_page_graph(html, page_url: str, fast: bool = True) -> dict:
     """Parse one document and extract its outlinks + indexing metadata.
 
-    Same never-crash contract as api.parse_html: kernel errors yield a
-    deterministic status with links extracted from the partial DOM built up
-    to the failure point; budget-determinized outcomes re-run per-char so
-    fast mode stays bit-identical to the slow oracle (api.py fallback).
+    Thin wrapper over api.parse_html(want_links=True) so the subtle
+    decode -> run -> budget fast/slow-fallback -> never-crash harness
+    exists in exactly ONE place; the standalone links/meta stages and the
+    combined emit_links kernel path (pipeline/kernel_stage.py) share it by
+    construction. Costs one extra document-text walk vs a bespoke runner
+    (parse_html always materializes `text`); the dedicated-query corpora
+    are small and the production path is the combined kernel anyway.
     """
-    try:
-        units = decode_input(html)
-    except KernelError as e:
-        return {"status": e.code, "links": [], **_EMPTY_META}
-    parser = Parser(units, fast=fast)
-    status = OK
-    try:
-        parser.run()
-    except KernelError as e:
-        status = e.code
-        if fast and status in _BUDGET_CODES:
-            return parse_page_graph(html, page_url, fast=False)
-    except RecursionError:
-        status = "err:recursion-limit"
-    try:
-        links, meta = extract_links(parser.document, page_url)
-    except RecursionError:
-        if status == OK:
-            status = "err:recursion-limit"
-        links, meta = [], dict(_EMPTY_META)
-    return {"status": status, "links": links, **meta}
+    from .api import parse_html
+    r = parse_html(html, fast=fast, extract=False, want_dom=False,
+                   want_links=True, page_url=page_url)
+    return {"status": r["status"], "links": r["links"],
+            **{k: r[k] for k in _EMPTY_META}}

@@ -297,6 +297,21 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
     # schema-on-read) — keep those partitions DONE for the parse anti-join,
     # but drop their manifest rows so the lineage update below re-hashes
     # them from the sink instead of baking the nulls in permanently
+    if emit_links and done_rows:
+        # upgrading an existing sink to emit_links under resume would skip
+        # the completed part_keys — whose parquet predates the link columns
+        # — so the read-back explode would either fail to resolve `links`
+        # or silently leave holes in the links sink. Fail fast with the
+        # real cause instead.
+        try:
+            sink_cols = set(spark.read.parquet(parsed_path).columns)
+        except Exception:
+            sink_cols = None  # no sink yet (manifest without data): re-parse
+        if sink_cols is not None and "links" not in sink_cols:
+            raise ValueError(
+                "emit_links=True on a resumed sink that was written without "
+                "link columns; re-run with resume=False (full re-parse) or "
+                "a fresh out_dir")
     legacy_keys = sorted({r.part_key for r in done_rows
                           if r.n_bytes is None or r.n_errors is None})
     done_key_list = sorted({r.part_key for r in done_rows})

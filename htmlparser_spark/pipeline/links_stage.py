@@ -39,12 +39,17 @@ def page_meta_batch(batches: Iterator[pd.DataFrame]
     """One row per page with its indexing metadata (PAGE_META_SCHEMA)."""
     for pdf in batches:
         rows = []
+        n = len(pdf)
         ts_list = (pdf["warc_ts"].tolist() if "warc_ts" in pdf.columns
-                   else [None] * len(pdf))
-        for url, ts, html in zip(pdf["url"].tolist(), ts_list,
-                                 pdf["html"].tolist()):
+                   else [None] * n)
+        # lang rides through from the pages row (like parse_batch's
+        # passthrough columns) so meta consumers never re-join the corpus
+        lang_list = (pdf["lang"].tolist() if "lang" in pdf.columns
+                     else [""] * n)
+        for url, ts, lang, html in zip(pdf["url"].tolist(), ts_list,
+                                       lang_list, pdf["html"].tolist()):
             r = parse_page_graph(html, url)
-            rows.append((url, ts, r["status"], r["base_href"],
+            rows.append((url, ts, lang, r["status"], r["base_href"],
                          r["canonical"], r["robots_noindex"],
                          r["robots_nofollow"], r["meta_description"],
                          len(r["links"])))

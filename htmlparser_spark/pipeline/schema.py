@@ -102,6 +102,7 @@ LINKS_SCHEMA = StructType([
 PAGE_META_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("warc_ts", TimestampType()),
+    StructField("lang", StringType()),
     StructField("status", StringType()),
     StructField("base_href", StringType()),
     StructField("canonical", StringType()),

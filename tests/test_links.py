@@ -86,10 +86,14 @@ def test_non_http_schemes_have_no_host_edge():
 
 
 def test_nofollow_rel_tokens_and_page_level_meta():
+    # rel= is whitespace-separated (a comma is part of the token, so
+    # "x,nofollow" is one unknown token — NOT a nofollow); robots content
+    # below is comma-separated per the robots-meta grammar
     r = _links('<html><body><div><a href="/a" rel="NoFollow">t </div>'
                '<div><a href="/b" rel="sponsored ugc">t </div>'
-               '<div><a href="/c" rel="x,nofollow">t </div></body></html>')
-    assert [link[5] for link in r["links"]] == [True, False, True]
+               '<div><a href="/c" rel="x,nofollow">t </div>'
+               '<div><a href="/d" rel="x nofollow">t </div></body></html>')
+    assert [link[5] for link in r["links"]] == [True, False, False, True]
     r2 = _links('<html><head><meta name="ROBOTS" content="nofollow"></head>'
                 '<body><div><a href="/a">t </div></body></html>')
     assert r2["robots_nofollow"] and not r2["robots_noindex"]
@@ -314,3 +318,20 @@ def test_emit_links_readback_prunes_columns(spark, tmp_path):
     assert "links:array" in schema
     for heavy in ("main_text", "spans", "text:", "errors"):
         assert heavy not in schema, schema
+
+
+def test_emit_links_upgrade_on_old_sink_fails_fast(spark, tmp_path):
+    """Turning emit_links on over a resumed sink written WITHOUT link
+    columns must fail with the real cause (the completed partitions can
+    never yield links), not explode an unresolved column mid-job."""
+    from htmlparser_spark.pipeline.job import run_pipeline
+
+    out = str(tmp_path / "job")
+    pages = synth_link_pages(spark, 20, seed=42, partitions=2)
+    run_pipeline(spark, pages, out, num_partitions=2)  # no link columns
+    with pytest.raises(ValueError, match="emit_links"):
+        run_pipeline(spark, pages, out, num_partitions=2, emit_links=True)
+    # resume=False re-parses everything and succeeds
+    run_pipeline(spark, pages, out, num_partitions=2, emit_links=True,
+                 resume=False)
+    assert os.path.exists(os.path.join(out, "links"))

@@ -23,16 +23,25 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     zip_path = build(str(tmp_path / "htmlparser_spark.zip"))
     out = str(tmp_path / "out")
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
-    res = subprocess.run(
-        ["spark-submit", "--master", "local[2]",
-         "--conf", "spark.ui.enabled=false",
-         "--conf", "spark.sql.shuffle.partitions=4",
-         "--py-files", zip_path,
-         os.path.join(REPO, "scripts", "run_job.py"),
-         "--synth", "60", "--out", out,
-         "--wet-out", str(tmp_path / "wet"), "--emit-links"],
-        cwd=str(tmp_path), env=env, capture_output=True, text=True,
-        timeout=600)
+    def submit(*extra):
+        return subprocess.run(
+            ["spark-submit", "--master", "local[2]",
+             "--conf", "spark.ui.enabled=false",
+             "--conf", "spark.sql.shuffle.partitions=4",
+             "--py-files", zip_path,
+             os.path.join(REPO, "scripts", "run_job.py"), *extra],
+            cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=600)
+
+    # default path first: pruned kernel (no link columns) under --py-files
+    out_plain = str(tmp_path / "out_plain")
+    res0 = submit("--synth", "40", "--out", out_plain)
+    assert res0.returncode == 0, res0.stderr[-3000:]
+    assert os.path.exists(os.path.join(out_plain, "parsed"))
+    assert not os.path.exists(os.path.join(out_plain, "links"))
+
+    res = submit("--synth", "60", "--out", out,
+                 "--wet-out", str(tmp_path / "wet"), "--emit-links")
     assert res.returncode == 0, res.stderr[-3000:]
     metrics = json.loads(
         [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1])
