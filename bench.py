@@ -81,6 +81,32 @@ def _kernel_measure(spark, n_pages: int, cpus: int) -> dict:
             "mb_per_sec": agg["bytes"] / 1e6 / dt}
 
 
+def _links_measure(spark, n_pages: int) -> dict:
+    """Marginal cost of the one-parse-two-sinks mode: same scan, the
+    combined kernel additionally building the web-graph columns
+    (emit_links). Reported as a side metric — NOT part of the headline
+    total, which stays comparable across rounds."""
+    from pyspark.sql import functions as F
+    from htmlparser_spark.pipeline.job import (
+        parse_pages, read_pages, with_part_key)
+    from htmlparser_spark.pipeline.schema import PARSED_FULL_SCHEMA
+
+    path = ensure_corpus(spark, n_pages)
+    t0 = time.monotonic()
+    df = with_part_key(read_pages(spark, path))
+    parsed = parse_pages(
+        df, extract=True,
+        columns=[f.name for f in PARSED_FULL_SCHEMA.fields])
+    agg = parsed.agg(
+        F.count(F.lit(1)).alias("pages"),
+        F.sum(F.size("links")).alias("links"),
+    ).collect()[0]
+    dt = time.monotonic() - t0
+    return {"pages": int(agg["pages"]), "links": int(agg["links"]),
+            "sec": round(dt, 3),
+            "pages_per_sec": round(agg["pages"] / dt, 1)}
+
+
 def _timed_queries(spark, sf_dir: str) -> dict:
     """Headline relational/dedup/similarity/text queries from the driver
     contract, each timed around a full action."""
@@ -113,6 +139,8 @@ def run_default() -> dict:
         _kernel_measure(spark, max(KERNEL_PAGES // 8, 500), CPUS)
         kern = min((_kernel_measure(spark, KERNEL_PAGES, CPUS) for _ in range(2)),
                    key=lambda r: r["sec"])
+        links = min((_links_measure(spark, KERNEL_PAGES // 2)
+                     for _ in range(2)), key=lambda r: r["sec"])
         rel = _timed_queries(spark, SF_DIR)
     finally:
         spark.stop()
@@ -131,6 +159,7 @@ def run_default() -> dict:
         "kernel_pages": kern["pages"], "kernel_mb": round(kern["bytes"] / 1e6, 1),
         "pages_per_sec": round(kern["pages_per_sec"], 1),
         "mb_per_sec": round(kern["mb_per_sec"], 2),
+        "links_stage": links,  # emit_links marginal-cost side metric
         "cpus": CPUS,
     }
 
