@@ -34,6 +34,9 @@ def main(argv=None):
                     help="read input from WARC file(s)/glob instead of --src")
     ap.add_argument("--wet-out", default=None,
                     help="also write the extracted text as WET segments here")
+    ap.add_argument("--jsonl-out", default=None,
+                    help="also write (url, warc_ts, lang, main_text) as "
+                         "deterministic JSONL.gz training shards here")
     ap.add_argument("--emit-links", action="store_true",
                     help="also emit the web-graph outputs from the same "
                          "parse: link columns in {out}/parsed plus the "
@@ -70,6 +73,14 @@ def main(argv=None):
             spark.read.parquet(f"{args.out}/parsed"), args.wet_out)
         metrics = dict(metrics, wet_segments=len(segs),
                        wet_records=sum(n for _p, n in segs))
+    if args.jsonl_out:
+        from htmlparser_spark.sources import write_jsonl
+        shards = write_jsonl(
+            spark.read.parquet(f"{args.out}/parsed")
+            .select("url", "warc_ts", "lang", "main_text"),
+            args.jsonl_out)
+        metrics = dict(metrics, jsonl_shards=len(shards),
+                       jsonl_records=sum(n for _p, n in shards))
     print(json.dumps({k: (int(v) if v is not None else None)
                       for k, v in metrics.items()}))
     spark.stop()

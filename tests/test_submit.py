@@ -41,7 +41,8 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     assert not os.path.exists(os.path.join(out_plain, "links"))
 
     res = submit("--synth", "60", "--out", out,
-                 "--wet-out", str(tmp_path / "wet"), "--emit-links")
+                 "--wet-out", str(tmp_path / "wet"),
+                 "--jsonl-out", str(tmp_path / "shards"), "--emit-links")
     assert res.returncode == 0, res.stderr[-3000:]
     metrics = json.loads(
         [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1])
@@ -51,5 +52,7 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(out, "_lineage"))
     assert metrics["wet_segments"] >= 1
     assert metrics["wet_records"] > 0
+    assert metrics["jsonl_shards"] >= 1
+    assert metrics["jsonl_records"] == metrics["pages"]
     # --emit-links: the same submit also produced the web-graph sink
     assert os.path.exists(os.path.join(out, "links"))
