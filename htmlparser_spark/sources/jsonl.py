@@ -27,6 +27,7 @@ import pandas as pd
 
 _SIMPLE = {"string", "boolean", "tinyint", "smallint", "int", "bigint",
            "float", "double"}
+_INTS = {"tinyint", "smallint", "int", "bigint"}
 
 
 def _check_schema(schema):
@@ -49,6 +50,10 @@ def _cell(v, kind: str):
         return ts.astimezone(_dt.timezone.utc).isoformat()
     if kind == "binary":
         return base64.b64encode(bytes(v)).decode("ascii")
+    if kind in _INTS:
+        # a batch holding any null promotes the pandas column to float64;
+        # serialize the surviving values as ints regardless of batch shape
+        return int(v)
     if isinstance(v, (bool, int, float, str)):
         return v
     return v.item() if hasattr(v, "item") else v  # numpy scalars

@@ -71,6 +71,25 @@ def test_jsonl_shards_are_deterministic(spark, tmp_path):
             assert fa.read() == fb.read()  # byte-identical shards
 
 
+def test_jsonl_int_column_with_nulls_stays_int(spark, tmp_path):
+    # a null in the batch promotes the pandas column to float64; surviving
+    # ints must still serialize as JSON ints (5, not 5.0)
+    df = spark.createDataFrame(
+        [("a", 5), ("b", None), ("c", 7)], "url string, n bigint")
+    out = str(tmp_path / "shards")
+    write_jsonl(df.coalesce(1), out)
+    name = [f for f in os.listdir(out) if f.endswith(".jsonl.gz")][0]
+    with open(os.path.join(out, name), "rb") as f:
+        lines = gzip.decompress(f.read()).decode().splitlines()
+    assert '{"n":5,"url":"a"}' in lines
+    assert '{"n":null,"url":"b"}' in lines
+    back = read_jsonl(spark, os.path.join(out, "*.jsonl.gz"),
+                      StructType([StructField("url", StringType()),
+                                  StructField("n", LongType())]))
+    got = {r["url"]: r["n"] for r in back.collect()}
+    assert got == {"a": 5, "b": None, "c": 7}
+
+
 def test_jsonl_rejects_nested_columns(spark, tmp_path):
     df = spark.createDataFrame([(1, [1, 2])], "a long, b array<bigint>")
     with pytest.raises(ValueError, match="scalar columns only.*b:array"):
