@@ -2085,3 +2085,129 @@ def corpus_datasheet(spark, sf_dir):
                  F.max("n_chars").cast("long").alias("max_chars"),
                  F.sum((F.col("n_chars") < 200).cast("long"))
                  .alias("n_short")))
+
+
+# --- Gopher quality rules ---------------------------------------------------------------
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100000
+GOPHER_MIN_AWL, GOPHER_MAX_AWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_REQ_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOP_HITS = 2
+
+
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style document quality rules (Rae et al. 2021, table A1 —
+    the rule family MassiveText/FineWeb filter on): word count in
+    [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    ('#' and '...' occurrences) <= 0.1, >= 80% of words contain an
+    alphabetic character, and >= 2 hits from the required-stopword list
+    (the/be/to/of/and/that/have/with). One row per document with each
+    measured statistic, the sorted fired-rule list, and the keep flag —
+    the per-rule stats are what a pipeline owner tunes thresholds on.
+
+    Scale shape: every rule is codegen string/array arithmetic on the
+    document's own text — a pure map-side pass, no join, no shuffle, and
+    the filter composes into any scan pipeline (predicate on `keep`)."""
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    n_words = F.size(words)
+    awl = (F.aggregate(words, F.lit(0),
+                       lambda acc, w: acc + F.length(w)).cast("double")
+           / F.greatest(n_words, F.lit(1)))
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ellipsis = ((F.length("text")
+                   - F.length(F.regexp_replace("text", r"\.\.\.", "")))
+                  / F.lit(3)).cast("long")
+    symbol_ratio = ((n_hash + n_ellipsis).cast("double")
+                    / F.greatest(n_words, F.lit(1)))
+    alpha_frac = (F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+                  .cast("double") / F.greatest(n_words, F.lit(1)))
+    req = F.array(*[F.lit(w) for w in GOPHER_REQ_STOPWORDS])
+    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(req, w)))
+    rules = F.array_compact(F.array(
+        F.when((n_words < GOPHER_MIN_WORDS)
+               | (n_words > GOPHER_MAX_WORDS), "word_count"),
+        F.when((awl < GOPHER_MIN_AWL) | (awl > GOPHER_MAX_AWL),
+               "mean_word_len"),
+        F.when(symbol_ratio > GOPHER_MAX_SYMBOL_RATIO, "symbol_ratio"),
+        F.when(alpha_frac < GOPHER_MIN_ALPHA_FRAC, "alpha_frac"),
+        F.when(stop_hits < GOPHER_MIN_STOP_HITS, "stopwords")))
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", n_words.alias("n_words"),
+                    F.round(awl, 4).alias("mean_word_len"),
+                    F.round(symbol_ratio, 4).alias("symbol_ratio"),
+                    F.round(alpha_frac, 4).alias("alpha_frac"),
+                    stop_hits.alias("req_stop_hits"),
+                    F.array_join(F.array_sort(rules), ",")
+                    .alias("reject_reasons"),
+                    (F.size(rules) == 0).cast("int").alias("keep")))
+
+
+# --- robots.txt-rule URL filtering ------------------------------------------------------
+
+def _robots_rules() -> list:
+    """Deterministic robots.txt rule set over the documents hosts
+    (src{i}.example.com): hosts i%3==0 disallow /tag/, hosts i%3==2
+    disallow the /p/9* prefix, hosts i%6==5 re-allow the longer /p/91
+    prefix, and every host disallows /search. The moduli are chosen so
+    the longest-match override actually fires on the data: doc_id%100==91
+    always lands on src11 (11%3==2 AND 11%6==5 — both rules match, the
+    longer Allow wins), while 94/97-suffixed docs land on src14/src17
+    (/p/9 Disallow only). Returns (host, prefix, allow) rows."""
+    rules = []
+    for i in range(20):
+        host = f"src{i}.example.com"
+        rules.append((host, "/search", 0))
+        if i % 3 == 0:
+            rules.append((host, "/tag/", 0))
+        if i % 3 == 2:
+            rules.append((host, "/p/9", 0))
+        if i % 6 == 5:
+            rules.append((host, "/p/91", 1))
+    return rules
+
+
+def corpus_robots_filter(spark, sf_dir):
+    """robots.txt Disallow/Allow URL filtering with REP longest-match
+    semantics (RFC 9309 §2.2.2: the most specific — longest — matching
+    prefix wins; on a length tie, allow wins): the post-crawl compliance
+    pass a web corpus runs before training use. Each document's URL path
+    is synthesized deterministically from doc_id (same scheme as
+    corpus_url_filter); the rule set is _robots_rules(). A longer Allow
+    overrides a shorter Disallow (/p/91 vs /p/9), exercised by doc_id %
+    100 in 90..99 vs 91.
+
+    Scale shape: rules collapse to ONE row per host (collect_list into an
+    array) and BROADCAST — real robots corpora are |hosts|·few rows, tiny
+    next to the corpus — then matching + longest-match resolution run as
+    codegen higher-order functions on the broadcast array: a pure
+    map-side pass, no corpus shuffle, no row multiplication from the
+    join. Priority encoding: len(prefix)*2 + allow — lengths differ by
+    >= 2 in the encoding so only same-length rules tie, and the +allow
+    bit resolves the tie per the RFC."""
+    path = F.concat(
+        F.when(F.col("doc_id") % 11 == 0, "/tag/").otherwise("/p/"),
+        (F.col("doc_id") % 100).cast("string"))
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    rules = spark.createDataFrame(_robots_rules(),
+                                  "host string, prefix string, allow int")
+    per_host = (rules.groupBy("host")
+                .agg(F.collect_list(F.struct("prefix", "allow"))
+                     .alias("rules")))
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", host.alias("host"), path.alias("path"))
+         .join(F.broadcast(per_host), "host", "left"))
+    matched = F.filter(
+        F.coalesce(F.col("rules"),
+                   F.array().cast("array<struct<prefix:string,allow:int>>")),
+        lambda r: F.col("path").startswith(r["prefix"]))
+    best = F.array_max(F.transform(
+        matched, lambda r: F.length(r["prefix"]) * 2 + r["allow"]))
+    return d.select(
+        "doc_id", "host", "path",
+        F.size(matched).alias("n_rules_matched"),
+        F.coalesce(F.floor(best / 2), F.lit(0)).cast("long")
+        .alias("best_prefix_len"),
+        F.coalesce(F.pmod(best, F.lit(2)), F.lit(1)).cast("int")
+        .alias("allowed"))

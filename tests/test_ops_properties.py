@@ -404,3 +404,45 @@ def test_curation_pipeline_composes_all_gates(spark):
         assert 1 <= r["host_rank"] <= ops.HOST_CAP
     for ranks in per_host.values():  # ranks are dense from 1
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_gopher_rules_fire_per_dimension(spark, tmp_path):
+    stop_rich = ("the be to of and that have with " * 7).strip()  # 56 words
+    docs = [
+        (0, stop_rich, "en", "src0", len(stop_rich)),          # passes all
+        (1, "short doc only", "en", "src1", 14),               # word_count+stopwords
+        (2, stop_rich + " " + "#" * 9 + " ... ... ...", "en", "src2", 1),
+        (3, ("the of " + "1 2 3 4 5 6 " * 10).strip(), "en", "src3", 1),
+        (4, ("the of " + "extraordinarily " * 60).strip(), "en", "src4", 1),
+    ]
+    d = _sf_dir(spark, tmp_path, documents=(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"))
+    got = {r["doc_id"]: r for r in ops.text_gopher_rules(spark, d).collect()}
+    assert got[0]["reject_reasons"] == "" and got[0]["keep"] == 1
+    assert "word_count" in got[1]["reject_reasons"]
+    assert "stopwords" in got[1]["reject_reasons"]
+    assert "symbol_ratio" in got[2]["reject_reasons"]
+    assert "alpha_frac" in got[3]["reject_reasons"]       # digit-heavy words
+    assert "mean_word_len" in got[4]["reject_reasons"]    # awl > 10
+    assert got[2]["symbol_ratio"] > 0.1 and got[3]["alpha_frac"] < 0.8
+
+
+def test_robots_longest_match_and_tie_semantics(spark, tmp_path):
+    # doc 91 -> src11 (/p/9 Disallow AND /p/91 Allow match; longer wins)
+    # doc 94 -> src14 (/p/9 Disallow only), doc 0 -> src0 /tag/ Disallow,
+    # doc 1 -> src1 no matching rule, doc 5 -> unknown host (no rules row)
+    rows = [(91, "t", "en", "src11", 1), (94, "t", "en", "src14", 1),
+            (0, "t", "en", "src0", 1), (1, "t", "en", "src1", 1),
+            (5, "t", "en", "zzz", 1)]
+    d = _sf_dir(spark, tmp_path, documents=(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"))
+    got = {r["doc_id"]: r for r in
+           ops.corpus_robots_filter(spark, d).collect()}
+    assert (got[91]["allowed"], got[91]["best_prefix_len"],
+            got[91]["n_rules_matched"]) == (1, 5, 2)  # Allow /p/91 overrides
+    assert (got[94]["allowed"], got[94]["best_prefix_len"]) == (0, 4)
+    assert got[0]["allowed"] == 0 and got[0]["path"] == "/tag/0"
+    assert got[1]["allowed"] == 1 and got[1]["n_rules_matched"] == 0
+    assert got[5]["allowed"] == 1 and got[5]["n_rules_matched"] == 0
