@@ -219,3 +219,23 @@ def test_ppl_buckets_one_doc_row_through_window(spark):
     assert "BroadcastHashJoin" in p, p
     assert "ntile(3)" in p, p
     assert "hashpartitioning(lang" in p, p
+
+
+def test_gopher_rules_map_only_no_python(spark):
+    """Gopher quality rules are pure codegen string/array arithmetic on the
+    document's own text: zero Exchange, zero Python eval — the filter
+    composes into any scan pipeline for free."""
+    p = plan_of(ops.text_gopher_rules(spark, SF))
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p, p
+
+
+def test_robots_filter_no_corpus_shuffle(spark):
+    """robots filtering joins the per-host rule ARRAYS as a broadcast and
+    resolves longest-match in higher-order functions: the only hash
+    exchange in the plan is the |rules|-row per-host rollup (20 hosts),
+    never the documents scan."""
+    p = plan_of(ops.corpus_robots_filter(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "EvalPython" not in p, p
