@@ -2095,6 +2095,10 @@ GOPHER_MAX_SYMBOL_RATIO = 0.1
 GOPHER_MIN_ALPHA_FRAC = 0.80
 GOPHER_REQ_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_BULLET_FRAC = 0.90   # lines starting with a bullet marker
+GOPHER_MAX_ELLIPSIS_FRAC = 0.30  # lines ending with ... or …
+_BULLET_RE = r"^(•|- |\* )"
+_ELLIPSIS_RE = r"(\.\.\.|…)$"
 
 
 def text_gopher_rules(spark, sf_dir):
@@ -2102,8 +2106,10 @@ def text_gopher_rules(spark, sf_dir):
     the rule family MassiveText/FineWeb filter on): word count in
     [50, 100k], mean word length in [3, 10], symbol-to-word ratio
     ('#' and '...' occurrences) <= 0.1, >= 80% of words contain an
-    alphabetic character, and >= 2 hits from the required-stopword list
-    (the/be/to/of/and/that/have/with). One row per document with each
+    alphabetic character, >= 2 hits from the required-stopword list
+    (the/be/to/of/and/that/have/with), <= 90% of lines starting with a
+    bullet marker, and <= 30% of lines ending with an ellipsis. One row
+    per document with each
     measured statistic, the sorted fired-rule list, and the keep flag —
     the per-rule stats are what a pipeline owner tunes thresholds on.
 
@@ -2125,6 +2131,12 @@ def text_gopher_rules(spark, sf_dir):
                   .cast("double") / F.greatest(n_words, F.lit(1)))
     req = F.array(*[F.lit(w) for w in GOPHER_REQ_STOPWORDS])
     stop_hits = F.size(F.filter(words, lambda w: F.array_contains(req, w)))
+    lines = F.filter(F.split("text", "\n"), lambda l: l != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE)))
+                   .cast("double") / n_lines)
+    ellipsis_frac = (F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_RE)))
+                     .cast("double") / n_lines)
     rules = F.array_compact(F.array(
         F.when((n_words < GOPHER_MIN_WORDS)
                | (n_words > GOPHER_MAX_WORDS), "word_count"),
@@ -2132,12 +2144,16 @@ def text_gopher_rules(spark, sf_dir):
                "mean_word_len"),
         F.when(symbol_ratio > GOPHER_MAX_SYMBOL_RATIO, "symbol_ratio"),
         F.when(alpha_frac < GOPHER_MIN_ALPHA_FRAC, "alpha_frac"),
-        F.when(stop_hits < GOPHER_MIN_STOP_HITS, "stopwords")))
+        F.when(stop_hits < GOPHER_MIN_STOP_HITS, "stopwords"),
+        F.when(bullet_frac > GOPHER_MAX_BULLET_FRAC, "bullet_lines"),
+        F.when(ellipsis_frac > GOPHER_MAX_ELLIPSIS_FRAC, "ellipsis_lines")))
     return (_t(spark, sf_dir, "documents")
             .select("doc_id", n_words.alias("n_words"),
                     F.round(awl, 4).alias("mean_word_len"),
                     F.round(symbol_ratio, 4).alias("symbol_ratio"),
                     F.round(alpha_frac, 4).alias("alpha_frac"),
+                    F.round(bullet_frac, 4).alias("bullet_line_frac"),
+                    F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
                     stop_hits.alias("req_stop_hits"),
                     F.array_join(F.array_sort(rules), ",")
                     .alias("reject_reasons"),

@@ -414,6 +414,11 @@ def test_gopher_rules_fire_per_dimension(spark, tmp_path):
         (2, stop_rich + " " + "#" * 9 + " ... ... ...", "en", "src2", 1),
         (3, ("the of " + "1 2 3 4 5 6 " * 10).strip(), "en", "src3", 1),
         (4, ("the of " + "extraordinarily " * 60).strip(), "en", "src4", 1),
+        (5, "\n".join(["- item one", "- item two", "* item three"]),
+         "en", "src5", 1),                                 # 100% bullet lines
+        (6, stop_rich + "\n" + "\n".join(
+            ["read more...", "continued…", "the end of that story"]),
+         "en", "src6", 1),                                 # 50% ellipsis lines
     ]
     d = _sf_dir(spark, tmp_path, documents=(
         docs, "doc_id long, text string, lang string, source string, "
@@ -426,6 +431,11 @@ def test_gopher_rules_fire_per_dimension(spark, tmp_path):
     assert "alpha_frac" in got[3]["reject_reasons"]       # digit-heavy words
     assert "mean_word_len" in got[4]["reject_reasons"]    # awl > 10
     assert got[2]["symbol_ratio"] > 0.1 and got[3]["alpha_frac"] < 0.8
+    assert "bullet_lines" in got[5]["reject_reasons"]
+    assert got[5]["bullet_line_frac"] == 1.0
+    assert "ellipsis_lines" in got[6]["reject_reasons"]
+    assert got[6]["ellipsis_line_frac"] == 0.5
+    assert "bullet_lines" not in got[6]["reject_reasons"]
 
 
 def test_robots_longest_match_and_tie_semantics(spark, tmp_path):
