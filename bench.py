@@ -300,6 +300,19 @@ Spark stage reached
 best level IN THIS RUN's contention window (separate quiet-host local[32]
 measurements of the same stage reach ~14k pages/s / ~82 MB/s after the
 round-3 map-only restructure; ~11.4k with the round-2 pre-parse shuffle).
+
+## Host-noise calibration (round-3 triple-run evidence)
+
+Three consecutive full `python bench.py` runs at sf0.1/local[32] in one
+session (2026-08-17): totals 45.7 s (first run after a CPU-saturating test
+sweep — load still draining, page cache cold), then 11.9 s, then 11.4 s;
+per-query min-of-runs sums to ~10.0 s vs the quiet-window 8.4-9.6 s band.
+Same code, same input — the spread is the documented shared-host noise
+(links_stage alone swung 1.25 s ↔ 3.89 s between back-to-back runs).
+Protocol: never read a single wall-clock number on this box; min-of-K or
+nothing. The round-2 "regressions" closed as noise on re-measure:
+embedding_topk 0.741-0.846 s (r2 recorded 1.186 s with an unchanged plan),
+text_quality/lang_id/fingerprint back at r1-era 0.18-0.41 s.
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
