@@ -22,8 +22,8 @@ OK = "ok"
 # two consumes is bounded by the state-graph diameter, far below 64), so
 # slow mode cannot budget-trip on a document fast mode finishes. The
 # fast/slow differential (tests/test_differential.py: ~1.3k cases per suite
-# run at the default seeds, scalable via SPARK_GRAFT_DIFF_SEEDS; 300k grammar cases
-# + 15k byte-mutation cases were held clean in the latest sweep) pins this empirically: a
+# run at the default seeds, scalable via SPARK_GRAFT_DIFF_SEEDS; 1.05M grammar cases
+# + 117k byte-mutation cases were held clean in the latest sweeps) pins this empirically: a
 # slow-mode-only budget trip would show up as a status mismatch.
 _BUDGET_CODES = frozenset({"err:tokenizer-loop", "err:reprocess-limit"})
 
