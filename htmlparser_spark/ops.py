@@ -31,6 +31,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --- S2: filter + projection --------------------------------------------------
 
 def filter_project(spark, sf_dir):
+    """S2 pushdown probe: urgent-priority orders, two columns — the filter
+    and projection must reach the parquet scan (PushedFilters/ReadSchema)."""
     return (_t(spark, sf_dir, "documents")
             .filter(F.col("lang") == "en")
             .select("doc_id", "n_chars",
@@ -41,6 +43,8 @@ def filter_project(spark, sf_dir):
 # --- S6: window dedup (latest snapshot wins) -----------------------------------
 
 def window_dedup_latest(spark, sf_dir):
+    """S6 latest-snapshot-wins dedup: one row per key via a window rank,
+    deterministic content-hash tiebreak — the recrawl policy of the sink."""
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc())
     return (_t(spark, sf_dir, "events")
@@ -53,6 +57,7 @@ def window_dedup_latest(spark, sf_dir):
 # --- S7: explode / generator ----------------------------------------------------
 
 def explode_tokens(spark, sf_dir):
+    """S7 explode: one row per whitespace token of every document."""
     return (_t(spark, sf_dir, "documents")
             .select("doc_id", F.posexplode(F.split("text", " "))
                     .alias("pos", "token"))
@@ -62,6 +67,8 @@ def explode_tokens(spark, sf_dir):
 # --- S8: counter aggregation ----------------------------------------------------
 
 def agg_counters(spark, sf_dir):
+    """S8 counter rollup: per-language doc/char tallies (the error-counter
+    aggregation shape over a plain column)."""
     # sums go through integer cents: per-row doubles are IEEE-identical in
     # any engine, so rounding per row THEN summing bigints is exactly
     # reproducible (a float sum is summation-order-dependent)
@@ -76,6 +83,8 @@ def agg_counters(spark, sf_dir):
 # --- TPC-H-shaped relational showcases ------------------------------------------
 
 def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1: the scan-heavy aggregate baseline — partial aggregation
+    below one exchange over the lineitem scan."""
     li = _t(spark, sf_dir, "lineitem")
     qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
     price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
@@ -91,6 +100,8 @@ def q1_pricing_summary(spark, sf_dir):
 
 
 def q3_revenue_by_order(spark, sf_dir):
+    """TPC-H Q3: selective dim filter + fact join + grouped revenue —
+    broadcast the filtered customer side, partial agg below the exchange."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -576,6 +587,8 @@ def _exact_topk(emb, k, n_queries, q_lo=0):
 
 
 def embedding_topk(spark, sf_dir, k=3, n_queries=5):
+    """Brute-force cosine top-k (exact ANN baseline): broadcast queries,
+    numpy-vectorized scoring, WindowGroupLimit rank pushdown."""
     return _exact_topk(_emb(spark, sf_dir), k, n_queries)
 
 
@@ -727,6 +740,8 @@ def _ivf_search(emb, cents, assigned, k, n_queries, q_lo=0, probes=None):
 
 
 def embedding_ann_ivf(spark, sf_dir, k=3, n_queries=5):
+    """IVF ANN top-k: sqrt(n) codebook, numpy matmul cell assignment,
+    2-cell probe — the scale path next to embedding_topk's exact scan."""
     return _ivf_topk(_emb(spark, sf_dir),
                      _ivf_n_centroids(_emb_count(spark, sf_dir)), k, n_queries)
 
@@ -1057,6 +1072,8 @@ TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
 def text_token_count(spark, sf_dir):
+    """Token counting two ways per document: whitespace words and a
+    BPE-ish regex class count — both pure codegen expressions."""
     return (_t(spark, sf_dir, "documents")
             .select("doc_id",
                     F.size(F.filter(F.split("text", " "),
@@ -1085,6 +1102,8 @@ def _quality_exprs():
 
 
 def text_quality(spark, sf_dir):
+    """Per-doc quality statistics (word count, mean word length, stopword
+    ratio) and the composed score — map-side codegen, no shuffle."""
     n_words, avg_wlen, stop_ratio, score = _quality_exprs()
     return (_t(spark, sf_dir, "documents")
             .select("doc_id", n_words.alias("n_words"),
@@ -1094,6 +1113,8 @@ def text_quality(spark, sf_dir):
 
 
 def text_lang_id(spark, sf_dir):
+    """Stopword-hit language ID over en/de/fr lists — the n-gram-heuristic
+    family (CLD-style) as pure array expressions, map-only."""
     words = F.filter(F.split("text", " "), lambda w: w != "")
     hits = {}
     for lang, sw in STOPWORDS.items():
@@ -1262,6 +1283,8 @@ def text_span_dedup(spark, sf_dir):
 
 
 def text_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (position-weighted word hashes
+    mod 2^31) — the order-sensitive cousin of the content md5."""
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
     return (_t(spark, sf_dir, "documents")
             .select("doc_id", F.md5(norm).alias("fingerprint")))
