@@ -1,0 +1,75 @@
+"""CDX-J index source: SURT key edges, deterministic sorted shards, typed
+round trip, and consistency between the Spark surt expression and the
+Python writer's surt_key."""
+import datetime
+import gzip
+import os
+import sys
+
+import pytest
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from htmlparser_spark.sources import read_cdx, surt_key, synth_cdx, write_cdx
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (SparkSession.builder.master("local[4]")
+         .appName("cdx-tests")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+    yield s
+    s.stop()
+
+
+def test_surt_key_edges():
+    assert surt_key("https://WWW.Example.COM/Page?Q=1") == \
+        "com,example,www)/page?q=1"
+    assert surt_key("http://a.b.example.org/") == "org,example,b,a)/"
+    assert surt_key("https://example.org") == "org,example)/"      # no path
+    assert surt_key("http://h.example:8080/x") == "example,h:8080)/x"
+    assert surt_key("https://h.example:443/x") == "example,h)/x"   # default
+    assert surt_key("mailto:x@y") == ""                            # hostless
+    assert surt_key("http://[bad") == ""                           # invalid
+
+
+def test_cdx_shard_is_sorted_and_deterministic(tmp_path):
+    a, b = str(tmp_path / "a.gz"), str(tmp_path / "b.gz")
+    assert synth_cdx(a, 100, seed=7) == 100
+    synth_cdx(b, 100, seed=7)
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        da, db = fa.read(), fb.read()
+    assert da == db  # byte-identical across runs
+    lines = gzip.decompress(da).decode().splitlines()
+    keys = [ln.split(" ", 2)[:2] for ln in lines]
+    assert keys == sorted(keys)  # CDX invariant: sorted by (surt, ts)
+
+
+def test_cdx_roundtrip_types(spark, tmp_path):
+    path = str(tmp_path / "cdx-00000.gz")
+    ts = datetime.datetime(2025, 3, 1, 12, 30, 45)
+    rows = [("https://www.X.example/A?B=1", ts, 200, "text/html",
+             "DEADBEEF", 1234, 567890, "seg-00001.warc.gz")]
+    write_cdx(path, rows)
+    got = read_cdx(spark, path).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["surt_key"] == "example,x,www)/a?b=1"
+    assert r["url"] == "https://www.X.example/A?B=1"  # url kept verbatim
+    assert (r["status"], r["mime"], r["length"], r["offset"]) == \
+        (200, "text/html", 1234, 567890)
+    assert r["ts"].replace(tzinfo=None) == ts
+    assert r["filename"] == "seg-00001.warc.gz"
+
+
+def test_spark_surt_matches_python_surt(spark):
+    """corpus_surt_keys' codegen expression and sources.cdx.surt_key must
+    agree on the synthesized URL family."""
+    import __spark_entry__ as entry
+    df = entry.corpus_surt_keys(spark, "/root/testdata/sf0.001")
+    for r in df.collect():
+        assert r["surt"] == surt_key(r["url"]), r
