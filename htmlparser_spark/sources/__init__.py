@@ -1,5 +1,6 @@
 from .cdx import read_cdx, surt_key, synth_cdx, write_cdx  # noqa: F401
 from .jsonl import read_jsonl, write_jsonl  # noqa: F401
 from .warc import (  # noqa: F401
-    read_warc, read_wet, synth_warc, write_warc, write_wet,
+    read_warc, read_warc_ranged, read_wet, synth_warc, write_warc,
+    write_warc_members, write_wet,
 )

@@ -294,3 +294,84 @@ def read_wet(spark, path: str):
 
     return blobs.mapInPandas(
         split, schema="url string, warc_ts timestamp, text string")
+
+
+# --- member-gzip segments + CDX-driven ranged record fetch -------------------------------
+
+def write_warc_members(path: str, rows) -> list:
+    """Write (url, warc_ts, html_bytes) rows as a WARC segment whose
+    records are INDIVIDUAL gzip members concatenated back to back — the
+    actual Common Crawl layout, and the property that makes the CDX
+    index's (offset, length) ranged fetch possible: any record can be
+    decompressed from its own byte range with no context. A whole-file
+    reader stays compatible (multi-member gzip decodes transparently —
+    see _gunzip_salvage). Returns the capture manifest
+    [(url, ts, offset, length), ...] the index is written from."""
+    out = io.BytesIO()
+    info = gzip.compress(
+        _warc_record("warcinfo", {"WARC-Filename": os.path.basename(path)},
+                     b"software: htmlparser-spark-synth\r\n"), mtime=0)
+    out.write(info)
+    manifest = []
+    pos = len(info)
+    for url, ts, html in rows:
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + f"Content-Length: {len(html)}\r\n\r\n".encode() + html)
+        member = gzip.compress(_warc_record(
+            "response",
+            {"WARC-Target-URI": url,
+             "WARC-Date": ts.astimezone(_dt.timezone.utc)
+                            .strftime(WARC_DATE_FMT)},
+            http), mtime=0)
+        out.write(member)
+        manifest.append((url, ts, pos, len(member)))
+        pos += len(member)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(out.getvalue())
+    os.replace(tmp, path)
+    return manifest
+
+
+def read_warc_ranged(spark, base_dir: str, plan_df):
+    """Execute a CDX fetch plan: ``plan_df`` rows (filename, offset,
+    length, ...) name exactly the records to read; each task opens its
+    files once (plan repartitioned + sorted by filename) and seeks to the
+    planned byte ranges — the 100 TB shape where the tiny PLAN shuffles,
+    never the page bytes, and unwanted captures are never read at all
+    (vs read_warc's full-segment scan). A range that fails to decode
+    (truncated upload, bad index entry) costs that record only."""
+    from ..pipeline.schema import PAGES_SCHEMA
+
+    plan = (plan_df.select("filename", "offset", "length")
+            .repartition("filename")
+            .sortWithinPartitions("filename", "offset"))
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            handle, handle_name = None, None
+            for fname, off, length in zip(pdf["filename"].tolist(),
+                                          pdf["offset"].tolist(),
+                                          pdf["length"].tolist()):
+                if fname != handle_name:
+                    if handle is not None:
+                        handle.close()
+                    handle = open(os.path.join(base_dir, fname), "rb")
+                    handle_name = fname
+                handle.seek(int(off))
+                raw = handle.read(int(length))
+                try:
+                    data = gzip.decompress(raw)
+                except (OSError, EOFError, zlib.error):
+                    continue  # bad range/member: drop this record only
+                for url, ts, html in iter_warc_records(data):
+                    out.append((url, ts, html, "", ""))
+            if handle is not None:
+                handle.close()
+            yield pd.DataFrame(
+                out, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return plan.mapInPandas(fetch, schema=PAGES_SCHEMA)

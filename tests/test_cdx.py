@@ -73,3 +73,64 @@ def test_spark_surt_matches_python_surt(spark):
     df = entry.corpus_surt_keys(spark, "/root/testdata/sf0.001")
     for r in df.collect():
         assert r["surt"] == surt_key(r["url"]), r
+
+
+def test_warc_members_manifest_offsets_are_exact(tmp_path):
+    """Each manifest (offset, length) must independently gzip-decompress
+    to exactly its own record — the property ranged fetch relies on."""
+    import datetime as dt
+
+    from htmlparser_spark.sources import write_warc_members
+    from htmlparser_spark.sources.warc import iter_warc_records
+
+    rows = [(f"https://ex.org/{i}", dt.datetime(2025, 1, 1, 0, 0, i),
+             f"<html>page {i}</html>".encode()) for i in range(7)]
+    path = str(tmp_path / "seg.warc.gz")
+    manifest = write_warc_members(path, rows)
+    assert len(manifest) == 7
+    blob = open(path, "rb").read()
+    for (url, _ts, off, length), (u0, _t0, h0) in zip(manifest, rows):
+        rec = gzip.decompress(blob[off:off + length])
+        got = list(iter_warc_records(rec))
+        assert len(got) == 1 and got[0][0] == u0 == url
+        assert got[0][2] == h0
+
+
+def test_warc_members_whole_file_reader_compat(spark, tmp_path):
+    """A member-gzip segment is still a valid multi-member gzip file: the
+    full-segment reader decodes it unchanged."""
+    import datetime as dt
+
+    from htmlparser_spark.sources import read_warc, write_warc_members
+
+    rows = [(f"https://ex.org/{i}", dt.datetime(2025, 1, 1), b"<html>x")
+            for i in range(5)]
+    path = str(tmp_path / "seg.warc.gz")
+    write_warc_members(path, rows)
+    assert read_warc(spark, path).count() == 5
+
+
+def test_ranged_fetch_reads_only_the_plan(spark, tmp_path):
+    """Planned records come back byte-exact; unplanned records never
+    appear; a corrupted planned range costs exactly that record."""
+    import datetime as dt
+
+    from htmlparser_spark.sources import read_warc_ranged, write_warc_members
+
+    rows = [(f"https://ex.org/{i}", dt.datetime(2025, 1, 1, 0, 0, i),
+             f"<html>page {i}</html>".encode()) for i in range(10)]
+    path = str(tmp_path / "seg-00000.warc.gz")
+    manifest = write_warc_members(path, rows)
+    # corrupt record 4's member in place
+    off, length = manifest[4][2], manifest[4][3]
+    blob = bytearray(open(path, "rb").read())
+    blob[off + 3] ^= 0xFF
+    open(path, "wb").write(bytes(blob))
+    plan_rows = [("seg-00000.warc.gz", m[2], m[3])
+                 for i, m in enumerate(manifest) if i in (1, 4, 8)]
+    plan = spark.createDataFrame(
+        plan_rows, "filename string, offset long, length long")
+    got = {r["url"]: bytes(r["html"])
+           for r in read_warc_ranged(spark, str(tmp_path), plan).collect()}
+    assert set(got) == {"https://ex.org/1", "https://ex.org/8"}  # 4 dropped
+    assert got["https://ex.org/1"] == b"<html>page 1</html>"

@@ -239,3 +239,12 @@ def test_robots_filter_no_corpus_shuffle(spark):
     assert "BroadcastHashJoin" in p, p
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "EvalPython" not in p, p
+
+
+def test_surt_keys_map_only_no_python(spark):
+    """SURT key computation is pure codegen (parse_url/split/reverse):
+    zero Exchange, zero Python eval — cheap enough to emit on every sink."""
+    import __spark_entry__ as entry
+    p = plan_of(entry.corpus_surt_keys(spark, SF))
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p, p
