@@ -134,3 +134,29 @@ def test_ranged_fetch_reads_only_the_plan(spark, tmp_path):
            for r in read_warc_ranged(spark, str(tmp_path), plan).collect()}
     assert set(got) == {"https://ex.org/1", "https://ex.org/8"}  # 4 dropped
     assert got["https://ex.org/1"] == b"<html>page 1</html>"
+
+
+def test_ranged_fetch_composes_into_run_pipeline(spark, tmp_path):
+    """read_warc_ranged returns the pages schema, so the executed fetch
+    plan IS a run_pipeline source: index -> plan -> ranged fetch -> parse."""
+    import datetime as dt
+
+    from htmlparser_spark.pipeline.job import run_pipeline
+    from htmlparser_spark.sources import read_warc_ranged, write_warc_members
+
+    rows = [(f"https://ex.org/p{i}", dt.datetime(2025, 1, 1, 0, 0, i),
+             f"<html><body><div class=\"content\">page {i} body text"
+             f"</div></body></html>".encode()) for i in range(12)]
+    path = str(tmp_path / "seg-00000.warc.gz")
+    manifest = write_warc_members(path, rows)
+    plan = spark.createDataFrame(
+        [("seg-00000.warc.gz", m[2], m[3])
+         for i, m in enumerate(manifest) if i % 2 == 0],
+        "filename string, offset long, length long")
+    src = read_warc_ranged(spark, str(tmp_path), plan)
+    m = run_pipeline(spark, src, str(tmp_path / "out"), resume=False)
+    assert m["pages"] == 6 and m["ok_pages"] == 6
+    out = spark.read.parquet(str(tmp_path / "out" / "parsed"))
+    assert out.count() == 6
+    assert {r["url"] for r in out.select("url").collect()} == \
+        {f"https://ex.org/p{i}" for i in range(0, 12, 2)}
