@@ -170,3 +170,115 @@ def synth_pages(spark, n_rows: int, seed: int = 42, partitions: int | None = Non
 def synth_pages_local(n_rows: int, seed: int = 42) -> list[tuple]:
     """Driver-side variant for tiny unit tests."""
     return gen_rows(seed, range(n_rows))
+
+
+# --- mixed-encoding corpus for the charset sniff/transcode stage ------------
+
+# Per-encoding body samples — every string must round-trip through its own
+# codec (cp1252 cannot encode CJK, Shift_JIS cannot encode most of Latin-1
+# supplement), so each class gets text its charset can actually represent.
+CHARSET_SAMPLES = {
+    "utf-8": "café – déjà vu — 中文テキスト €42 ©",
+    "windows-1252": "café déjà vu – naïve façade £9 ©®",
+    "shift_jis": "日本語のテキストです。カタカナとｶﾀｶﾅ。",
+    "gb18030": "简体中文文本，网页内容示例。",
+    "utf-16le": "UTF-16 little – café 中文 🙂",
+    "utf-16be": "UTF-16 big – naïve 日本語 🙂",
+}
+
+_CHARSET_CODECS = {
+    "utf-8": "utf-8", "windows-1252": "cp1252", "shift_jis": "shift_jis",
+    "gb18030": "gb18030", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+
+def gen_charset_page(seed: int, i: int) -> tuple[str, _dt.datetime, bytes, str, str]:
+    """One deterministic page in one of 10 declaration/encoding classes
+    (per i % 10) — BOM pages, meta-declared legacy charsets, alias labels,
+    the WHATWG meta-utf-16→utf-8 quirk, and undeclared cp1252 mojibake."""
+    rng = random.Random(f"{seed}:cs:{i}")
+    url = f"https://cs{i % 7:02d}.example/enc/p{i:06d}"
+    ts = EPOCH + _dt.timedelta(seconds=i)
+    words = " ".join(rng.choice(WORDS) for _ in range(rng.randint(6, 18)))
+    cls = i % 10
+
+    def page(meta: str, sample: str) -> str:
+        return (f"<!DOCTYPE html><html><head>{meta}<title>t{i}</title>"
+                f'</head><body><div class="content">{sample} {words}'
+                f"</div></body></html>")
+
+    if cls <= 2:        # plain utf-8, meta-declared (the common case)
+        label = ["utf-8", "UTF-8", "utf8"][cls]
+        data = page(f'<meta charset="{label}">',
+                    CHARSET_SAMPLES["utf-8"]).encode("utf-8")
+    elif cls == 3:      # utf-8 with BOM, no meta
+        data = b"\xef\xbb\xbf" + page(
+            "", CHARSET_SAMPLES["utf-8"]).encode("utf-8")
+    elif cls == 4:      # windows-1252 via <meta charset>
+        data = page('<meta charset="windows-1252">',
+                    CHARSET_SAMPLES["windows-1252"]).encode("cp1252")
+    elif cls == 5:      # latin-1 label via the http-equiv form → cp1252
+        meta = ('<meta http-equiv="Content-Type" '
+                'content="text/html; charset=iso-8859-1">')
+        data = page(meta, CHARSET_SAMPLES["windows-1252"]).encode("cp1252")
+    elif cls == 6:      # Shift_JIS via meta
+        data = page('<meta charset="Shift_JIS">',
+                    CHARSET_SAMPLES["shift_jis"]).encode("shift_jis")
+    elif cls == 7:      # gb2312 label → gb18030 superset
+        data = page('<meta charset="gb2312">',
+                    CHARSET_SAMPLES["gb18030"]).encode("gb18030")
+    elif cls == 8:      # UTF-16 with BOM (alternating endianness); any meta
+        # is unreadable in the latin-1 prescan — BOM must decide
+        enc = "utf-16le" if (i // 10) % 2 == 0 else "utf-16be"
+        bom = b"\xff\xfe" if enc == "utf-16le" else b"\xfe\xff"
+        data = bom + page('<meta charset="utf-8">',
+                          CHARSET_SAMPLES[enc]).encode(_CHARSET_CODECS[enc])
+    else:               # cls 9: two sub-cases of "declaration is wrong/absent"
+        if (i // 10) % 2 == 0:
+            # spec quirk: meta says utf-16 but bytes are utf-8 → treat utf-8
+            data = page('<meta charset="utf-16">',
+                        CHARSET_SAMPLES["utf-8"]).encode("utf-8")
+        else:
+            # undeclared cp1252 bytes → default utf-8 decode with U+FFFD
+            # replacement (the deterministic mojibake a real corpus carries)
+            data = page("", CHARSET_SAMPLES["windows-1252"]).encode("cp1252")
+    return url, ts, data, "", "en"
+
+
+def expected_charset_text(seed: int, i: int) -> str:
+    """Ground truth for tests: what charset-aware decode must produce for
+    page i — the page decoded with the encoding its class actually used
+    (or the utf-8-replacement text for the undeclared-cp1252 class)."""
+    url, ts, data, _, _ = gen_charset_page(seed, i)
+    cls = i % 10
+    if cls == 8:
+        enc = "utf-16-le" if (i // 10) % 2 == 0 else "utf-16-be"
+    elif cls == 9 and (i // 10) % 2 == 1:
+        enc = "utf-8"  # undeclared: default path, replacement chars appear
+    elif cls in (4, 5):
+        enc = "cp1252"
+    elif cls == 6:
+        enc = "shift_jis"
+    elif cls == 7:
+        enc = "gb18030"
+    else:
+        enc = "utf-8"
+    s = data.decode(enc, "replace")
+    return s[1:] if s[:1] == "﻿" else s
+
+
+def synth_charset_pages(spark, n_rows: int, seed: int = 42,
+                        partitions: int | None = None):
+    """Distributed deterministic mixed-encoding corpus (pages schema)."""
+    from .pipeline.schema import PAGES_SCHEMA
+
+    partitions = partitions or max(spark.sparkContext.defaultParallelism, 4)
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [gen_charset_page(seed, int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    ids = spark.range(0, n_rows, 1, partitions)
+    return ids.mapInPandas(expand, schema=PAGES_SCHEMA)
