@@ -224,10 +224,21 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
                  salt_threshold: int = DEFAULT_SALT_THRESHOLD,
                  lang: str | None = None, dedup: bool = True,
                  resume: bool = True, extract: bool = True,
-                 emit_links: bool = False) -> dict:
+                 emit_links: bool = False, transcode: bool = False) -> dict:
     """Full job. Returns a metrics dict (S8). Output layout:
     ``{out_dir}/parsed`` (parquet), ``{out_dir}/_lineage`` (parquet), and
     with ``emit_links=True`` also ``{out_dir}/links`` (parquet).
+
+    transcode: opt-in charset ingest pass (sources/charset.py) — sniff each
+    page's encoding (BOM / meta prescan, pure codegen) and re-encode the
+    detected non-UTF-8 minority to UTF-8 bytes before the kernel. Default
+    OFF: the kernel's UTF-8-replacement decode is the reference-parity path
+    (Program.cs:3), and the golden fixtures pin it. Both transcode branches
+    are map-only, so the stage adds no exchange; it runs BEFORE the
+    content_hash so the dedup tiebreak keys the bytes the kernel actually
+    parsed. NOTE a resumed sink must keep the flag it was created with —
+    flipping it changes bytes-parsed for non-UTF-8 pages, and completed
+    partitions won't be re-parsed.
 
     emit_links: ONE parse serves two sinks. The kernel additionally builds
     the web-graph columns (outlinks array + robots/canonical/base metadata,
@@ -275,6 +286,9 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
     # parsed before being deduped — proportional extra CPU, deliberately
     # traded for removing the full-corpus shuffles (parse is deterministic,
     # so dedup-after-parse yields byte-identical output).
+    if transcode:
+        from htmlparser_spark.sources.charset import transcode_to_utf8
+        df = transcode_to_utf8(df)
     df = with_part_key(df)
     # raw-content fingerprint for the post-parse dedup tiebreak, computed
     # JVM-side while html is still in hand (passthrough through the kernel)

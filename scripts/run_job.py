@@ -41,6 +41,11 @@ def main(argv=None):
                     help="also emit the web-graph outputs from the same "
                          "parse: link columns in {out}/parsed plus the "
                          "exploded {out}/links table")
+    ap.add_argument("--transcode", action="store_true",
+                    help="charset-sniff each page (BOM/meta prescan) and "
+                         "re-encode detected non-UTF-8 pages to UTF-8 "
+                         "before the parse kernel (default: reference-"
+                         "parity UTF-8-replacement decode)")
     args = ap.parse_args(argv)
     if not args.src and not args.synth and not args.warc:
         ap.error("one of --src, --warc, or --synth N is required")
@@ -66,6 +71,7 @@ def main(argv=None):
         resume=not args.no_resume,
         extract=not args.no_extract,
         emit_links=args.emit_links,
+        transcode=args.transcode,
     )
     if args.wet_out:
         from htmlparser_spark.sources import write_wet

@@ -155,3 +155,34 @@ def test_kernel_decode_parity_untouched():
     assert r["status"] == "ok"
     assert jp not in r["text"]          # mojibake, as the reference would
     assert "�" in r["text"]        # replacement chars present
+
+
+def test_run_pipeline_transcode_flag(spark, tmp_path):
+    """transcode=True composes into the full job: every page of the mixed-
+    encoding corpus lands in the sink exactly once, and the legacy-charset
+    pages' sample text appears VERBATIM in extracted main_text — while the
+    default (parity) run yields mojibake for the same urls."""
+    from htmlparser_spark.pipeline.job import run_pipeline
+
+    pages = synth_charset_pages(spark, N, seed=SEED, partitions=2)
+    m = run_pipeline(spark, pages, str(tmp_path / "fixed"),
+                     resume=False, transcode=True)
+    assert m["pages"] == N
+    fixed = {r.url: r.main_text
+             for r in spark.read.parquet(
+                 str(tmp_path / "fixed" / "parsed")).collect()}
+    assert len(fixed) == N              # union split didn't dup or drop
+
+    run_pipeline(spark, pages, str(tmp_path / "raw"), resume=False)
+    raw = {r.url: r.main_text
+           for r in spark.read.parquet(
+               str(tmp_path / "raw" / "parsed")).collect()}
+    for i, key in ((4, "windows-1252"), (6, "shift_jis"),
+                   (7, "gb18030"), (8, "utf-16le")):
+        url = gen_charset_page(SEED, i)[0]
+        assert CHARSET_SAMPLES[key][:6] in fixed[url], (i, key)
+        assert CHARSET_SAMPLES[key][:6] not in raw[url], (i, key)
+    # utf-8 pages are byte-identical either way (fast-path passthrough)
+    for i in (0, 1, 2, 3):
+        url = gen_charset_page(SEED, i)[0]
+        assert fixed[url] == raw[url]
