@@ -28,6 +28,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # fixed synthetic corpus for the kernel measurement — identical at every
 # parallelism level (seeded generator, see htmlparser_spark/synth.py)
 KERNEL_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "16000"))
+# min-of-K per measurement: this Firecracker VM shares a contended host
+# (hypervisor steal + vCPU migration swing single windows 2-3x; calibration
+# in BENCH/BASELINE.md). 3 reps rejects a loud first window while keeping
+# the full run a few minutes.
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 SEED = 42
 
 
@@ -121,7 +126,7 @@ def _timed_queries(spark, sf_dir: str) -> dict:
     out = {}
     for name in names:
         best = None
-        for _ in range(2):  # min-of-2: the sandbox VM's host is contended
+        for _ in range(REPS):
             spark.catalog.clearCache()
             t0 = time.monotonic()
             n = qs[name](spark, sf_dir).count()
@@ -137,10 +142,10 @@ def run_default() -> dict:
         # warm-up: start the 32 Python workers + import the kernel in each so
         # the timed run measures steady-state throughput, not process startup
         _kernel_measure(spark, max(KERNEL_PAGES // 8, 500), CPUS)
-        kern = min((_kernel_measure(spark, KERNEL_PAGES, CPUS) for _ in range(2)),
-                   key=lambda r: r["sec"])
+        kern = min((_kernel_measure(spark, KERNEL_PAGES, CPUS)
+                    for _ in range(REPS)), key=lambda r: r["sec"])
         links = min((_links_measure(spark, KERNEL_PAGES // 2)
-                     for _ in range(2)), key=lambda r: r["sec"])
+                     for _ in range(REPS)), key=lambda r: r["sec"])
         rel = _timed_queries(spark, SF_DIR)
     finally:
         spark.stop()
@@ -289,6 +294,15 @@ byte-balanced scan splits (parse cost is proportional to bytes), so
 executor-count scaling has no algorithmic barrier; the pipeline's single
 exchange carries only the parsed output, keyed on the deterministic
 part_key.
+
+Cross-day evidence that the 32-wide ceiling is the HOST, not the code: on
+2026-08-17 two full --scaling passes hours apart measured local[2] at
+20.0-22.2 s and local[8] at 5.5-6.2 s — both matching the quiet-day
+numbers above within noise — while the SAME binary's local[32] windows
+read 10.5, 16.5, 18.9 and 34.4 s vs the quiet-day 6.58 s. Partial-width
+runs are reproducible across days; only full-width runs swing 2.5-5x,
+which is exactly the signature of hypervisor steal scaling with vCPU
+occupancy.
 
 Reference baseline: the reference repo publishes no benchmark of any kind
 (SURVEY.md §6) — it is a single-threaded C# console app that parses one
