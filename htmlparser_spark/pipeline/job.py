@@ -233,12 +233,13 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
     page's encoding (BOM / meta prescan, pure codegen) and re-encode the
     detected non-UTF-8 minority to UTF-8 bytes before the kernel. Default
     OFF: the kernel's UTF-8-replacement decode is the reference-parity path
-    (Program.cs:3), and the golden fixtures pin it. Both transcode branches
-    are map-only, so the stage adds no exchange; it runs BEFORE the
-    content_hash so the dedup tiebreak keys the bytes the kernel actually
-    parsed. NOTE a resumed sink must keep the flag it was created with —
-    flipping it changes bytes-parsed for non-UTF-8 pages, and completed
-    partitions won't be re-parsed.
+    (Program.cs:3), and the golden fixtures pin it. The stage is fused into
+    the existing scan + kernel stage (sniff = codegen columns, re-encode =
+    inside parse_batch where the bytes already cross into Python), so it
+    adds no exchange, no second scan, and no extra Arrow hop; content_hash
+    stays the hash of the RAW capture bytes. NOTE a resumed sink must keep
+    the flag it was created with — flipping it changes bytes-parsed for
+    non-UTF-8 pages, and completed partitions won't be re-parsed.
 
     emit_links: ONE parse serves two sinks. The kernel additionally builds
     the web-graph columns (outlinks array + robots/canonical/base metadata,
@@ -287,8 +288,15 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
     # traded for removing the full-corpus shuffles (parse is deterministic,
     # so dedup-after-parse yields byte-identical output).
     if transcode:
-        from htmlparser_spark.sources.charset import transcode_to_utf8
-        df = transcode_to_utf8(df)
+        # FUSED into the kernel stage: with_sniffed_encoding adds the
+        # (codegen) `encoding` column in the same scan projection, and
+        # parse_batch re-encodes the detected non-UTF-8 minority right
+        # where the bytes already enter Python for the parse. One source
+        # scan — the union-shaped transcode_to_utf8 would execute the
+        # source once per branch (twice the I/O at 100 TB, or two fetches
+        # over a ranged-WARC source).
+        from htmlparser_spark.sources.charset import with_sniffed_encoding
+        df = with_sniffed_encoding(df).drop("method")
     df = with_part_key(df)
     # raw-content fingerprint for the post-parse dedup tiebreak, computed
     # JVM-side while html is still in hand (passthrough through the kernel)

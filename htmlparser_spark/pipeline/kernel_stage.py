@@ -54,11 +54,27 @@ def parse_batch(batches: Iterator[pd.DataFrame], extract: bool = True,
     w_nodes = "n_nodes" in want
     w_elems = "n_elements" in want
     w_bytes = "html_bytes" in want
+    decode_bytes = None
     for pdf in batches:
         n = len(pdf)
         if n == 0:
             continue
         htmls = pdf["html"].tolist()
+        if "encoding" in pdf.columns:
+            # fused charset transcode (run_pipeline(transcode=True)): the
+            # sniff is a codegen column computed in the SAME scan projection,
+            # and the re-encode happens here — where the page bytes have
+            # already crossed the Arrow boundary for the parse — so the
+            # stage costs one source scan and zero extra Python hops. The
+            # union-shaped sources.charset.transcode_to_utf8 executes its
+            # source once per branch, which at 100 TB (or over a ranged
+            # WARC fetch) reads the corpus twice; this path exists so the
+            # pipeline never does.
+            if decode_bytes is None:
+                from ..sources.charset import decode_bytes
+            htmls = [h if h is None or e == "utf-8"
+                     else decode_bytes(h, e).encode("utf-8")
+                     for h, e in zip(htmls, pdf["encoding"].tolist())]
         out = {}
         if "url" in want:
             out["url"] = pdf["url"].tolist()

@@ -186,3 +186,63 @@ def test_run_pipeline_transcode_flag(spark, tmp_path):
     for i in (0, 1, 2, 3):
         url = gen_charset_page(SEED, i)[0]
         assert fixed[url] == raw[url]
+
+
+def test_pipeline_transcode_scans_source_once(spark, tmp_path):
+    """The fused transcode costs ONE execution of the source (sniff is a
+    codegen column in the same projection; the re-encode rides the kernel's
+    existing Arrow crossing). The union-shaped transcode_to_utf8 would run
+    the source once per branch — with a ranged-WARC source that is two
+    fetches of every planned record. Counted with a per-row accumulator
+    inside a mapInPandas source."""
+    from htmlparser_spark.pipeline.job import run_pipeline
+    from htmlparser_spark.pipeline.schema import PAGES_SCHEMA
+    from htmlparser_spark.synth import gen_charset_page
+
+    acc = spark.sparkContext.accumulator(0)
+    n = 20
+
+    def source(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = [gen_charset_page(SEED, int(i)) for i in pdf["id"]]
+            acc.add(len(rows))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    src = spark.range(0, n, 1, 2).mapInPandas(source, schema=PAGES_SCHEMA)
+    m = run_pipeline(spark, src, str(tmp_path / "out"),
+                     resume=False, transcode=True)
+    assert m["pages"] == n
+    assert acc.value == n  # exactly one pass over the source
+
+
+def test_parse_batch_fused_encoding_column():
+    """parse_batch's encoding-aware path (pandas level, no Spark): rows
+    carrying a sniffed non-utf-8 encoding are re-encoded before the parse;
+    utf-8 rows and null rows pass through untouched."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from htmlparser_spark.pipeline.kernel_stage import parse_batch
+
+    jp = CHARSET_SAMPLES["shift_jis"]
+    # class-6 generator page: shift_jis bytes with a meta declaration
+    url, ts, raw, _t, _l = gen_charset_page(SEED, 6)
+    u8 = decode_bytes(raw, "shift_jis").encode("utf-8")  # ground truth
+    pdf = pd.DataFrame({
+        "url": [url, "https://a.example/u8", "https://a.example/null"],
+        "warc_ts": [ts, ts, ts],
+        "html": [raw, u8, None],
+        "lang": ["", "", ""],
+        "encoding": ["shift_jis", "utf-8", "utf-8"],
+    })
+    out = pd.concat(list(parse_batch(iter([pdf]))))
+    by_url = dict(zip(out["url"], out["main_text"]))
+    st = dict(zip(out["url"], out["status"]))
+    assert jp[:6] in by_url[url]                         # transcoded
+    assert "�" not in by_url[url]
+    # fused path == feeding pre-transcoded utf-8 bytes, bit for bit
+    assert by_url[url] == by_url["https://a.example/u8"]
+    assert st["https://a.example/null"] == "err:null-input"
