@@ -153,6 +153,15 @@ def transcode_to_utf8(df: DataFrame, html_col: str = "html") -> DataFrame:
     U+FFFD-replacement decode stays the single defined behavior for them.
     Only the detected non-UTF-8 slice runs the Arrow-batched transcode.
     Both branches are map-only; the union adds no exchange.
+
+    CAVEAT — the two branches each execute the SOURCE plan: with no
+    exchange between the source and the filters there is nothing for
+    Spark to reuse, so a bare scan is read twice (and an expensive source
+    like a ranged WARC fetch runs twice). Use this standalone shape when
+    the source is a cheap re-readable scan and you need transcoded BYTES
+    out (e.g. rewriting a WARC); the parse pipeline instead fuses the
+    re-encode into its kernel stage (`run_pipeline(transcode=True)` —
+    one scan, zero extra Python hops, see pipeline/kernel_stage.py).
     """
     s = with_sniffed_encoding(df, html_col)
     fast = s.filter(F.col("encoding") == "utf-8").drop("encoding", "method")
