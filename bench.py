@@ -112,6 +112,39 @@ def _links_measure(spark, n_pages: int) -> dict:
             "pages_per_sec": round(agg["pages"] / dt, 1)}
 
 
+def _transcode_measure(spark, n_pages: int) -> dict:
+    """Marginal cost of the fused charset transcode
+    (run_pipeline(transcode=True)): same scan + kernel stage, plus the
+    codegen sniff columns and the in-batch re-encode. The mixed corpus is
+    deliberately adversarial — 50% of pages land in detected non-UTF-8
+    classes vs ~5% at real crawl ratios — so this bounds the overhead from
+    above. Side metric, not part of the headline total."""
+    from pyspark.sql import functions as F
+    from htmlparser_spark.pipeline.job import parse_pages, with_part_key
+    from htmlparser_spark.sources.charset import with_sniffed_encoding
+    from htmlparser_spark.synth import synth_charset_pages
+
+    path = f"/tmp/spark_graft_bench_cs_{n_pages}_s{SEED}.parquet"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_charset_pages(spark, n_pages, seed=SEED, partitions=64) \
+            .write.mode("overwrite").parquet(path)
+
+    def run(transcode: bool) -> float:
+        df = spark.read.parquet(path).select("url", "warc_ts", "html", "lang")
+        if transcode:
+            df = with_sniffed_encoding(df).drop("method")
+        parsed = parse_pages(with_part_key(df), extract=True)
+        t0 = time.monotonic()
+        parsed.agg(F.count(F.lit(1))).collect()
+        return time.monotonic() - t0
+
+    plain = min(run(False) for _ in range(REPS))
+    fused = min(run(True) for _ in range(REPS))
+    return {"pages": n_pages, "sec_plain": round(plain, 3),
+            "sec_transcode": round(fused, 3),
+            "overhead_pct": round(100.0 * (fused - plain) / plain, 1)}
+
+
 def _timed_queries(spark, sf_dir: str) -> dict:
     """Headline relational/dedup/similarity/text queries from the driver
     contract, each timed around a full action."""
@@ -146,6 +179,7 @@ def run_default() -> dict:
                     for _ in range(REPS)), key=lambda r: r["sec"])
         links = min((_links_measure(spark, KERNEL_PAGES // 2)
                      for _ in range(REPS)), key=lambda r: r["sec"])
+        transcode = _transcode_measure(spark, max(KERNEL_PAGES // 4, 500))
         rel = _timed_queries(spark, SF_DIR)
     finally:
         spark.stop()
@@ -165,6 +199,9 @@ def run_default() -> dict:
         "pages_per_sec": round(kern["pages_per_sec"], 1),
         "mb_per_sec": round(kern["mb_per_sec"], 2),
         "links_stage": links,  # emit_links marginal-cost side metric
+        # fused-transcode marginal cost on a 50%-non-UTF-8 corpus (upper
+        # bound: real crawls are ~5% non-UTF-8)
+        "transcode_stage": transcode,
         "cpus": CPUS,
     }
 
