@@ -40,9 +40,14 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(out_plain, "parsed"))
     assert not os.path.exists(os.path.join(out_plain, "links"))
 
+    # --transcode exercises the fused charset stage under the zip: the
+    # codegen sniff columns plus executor-side resolution of
+    # htmlparser_spark.sources.charset from --py-files (synth pages are
+    # utf-8, so the stage is a pure sniff-passthrough here)
     res = submit("--synth", "60", "--out", out,
                  "--wet-out", str(tmp_path / "wet"),
-                 "--jsonl-out", str(tmp_path / "shards"), "--emit-links")
+                 "--jsonl-out", str(tmp_path / "shards"), "--emit-links",
+                 "--transcode")
     assert res.returncode == 0, res.stderr[-3000:]
     metrics = json.loads(
         [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1])
