@@ -204,10 +204,11 @@ def status_counts(parsed: DataFrame) -> DataFrame:
 
 # --- S9: lineage + resume ----------------------------------------------------
 
-def lineage_of(parsed: DataFrame) -> DataFrame:
+def lineage_of(parsed: DataFrame, transcode: bool = False) -> DataFrame:
     """Per-partition manifest: row counts + an order-insensitive checksum of
-    (url, status, main_text). Written alongside the output; resume anti-joins
-    completed part_keys."""
+    (url, status, main_text), plus the transcode flag the partition was
+    parsed under. Written alongside the output; resume anti-joins completed
+    part_keys."""
     row_hash = F.xxhash64("url", "status", "main_text")
     return parsed.groupBy("part_key").agg(
         F.count("*").alias("n_rows"),
@@ -216,7 +217,7 @@ def lineage_of(parsed: DataFrame) -> DataFrame:
         F.sum("n_errors").alias("n_errors"),
         # bit_xor: order-insensitive and overflow-free under ANSI mode
         F.bit_xor(row_hash).alias("checksum"),
-    )
+    ).withColumn("transcode", F.lit(bool(transcode)))
 
 
 def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
@@ -237,9 +238,11 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
     the existing scan + kernel stage (sniff = codegen columns, re-encode =
     inside parse_batch where the bytes already cross into Python), so it
     adds no exchange, no second scan, and no extra Arrow hop; content_hash
-    stays the hash of the RAW capture bytes. NOTE a resumed sink must keep
-    the flag it was created with — flipping it changes bytes-parsed for
-    non-UTF-8 pages, and completed partitions won't be re-parsed.
+    stays the hash of the RAW capture bytes. A resumed sink must keep the
+    flag it was created with (flipping it changes bytes-parsed for
+    non-UTF-8 pages and completed partitions are never re-parsed) —
+    ENFORCED: the flag is recorded per-partition in the lineage manifest
+    and a mismatch on resume raises.
 
     emit_links: ONE parse serves two sinks. The kernel additionally builds
     the web-graph columns (outlinks array + robots/canonical/base metadata,
@@ -319,6 +322,19 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
     # schema-on-read) — keep those partitions DONE for the parse anti-join,
     # but drop their manifest rows so the lineage update below re-hashes
     # them from the sink instead of baking the nulls in permanently
+    if done_rows:
+        # completed partitions are never re-parsed, so flipping transcode
+        # on a resumed sink would leave the corpus half-decoded one way and
+        # half the other with nothing recording which — fail fast instead.
+        # Manifests from before the flag existed read NULL = no transcode.
+        prior = {bool(r.transcode) if r.transcode is not None else False
+                 for r in done_rows}
+        if prior != {bool(transcode)}:
+            raise ValueError(
+                f"transcode={bool(transcode)} on a resumed sink whose "
+                f"completed partitions were parsed with "
+                f"transcode={sorted(prior)}; re-run with resume=False "
+                f"(full re-parse) or a fresh out_dir")
     if emit_links and done_rows:
         # upgrading an existing sink to emit_links under resume would skip
         # the completed part_keys — whose parquet predates the link columns
@@ -421,7 +437,7 @@ def run_pipeline(spark: SparkSession, src: str | DataFrame, out_dir: str,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("part_key").parquet(links_path))
 
-    new_lineage = lineage_of(inc)
+    new_lineage = lineage_of(inc, transcode=transcode)
     if done_rows:
         new_lineage = new_lineage.unionByName(
             spark.createDataFrame(done_rows, LINEAGE_SCHEMA))

@@ -122,4 +122,9 @@ LINEAGE_SCHEMA = StructType([
     StructField("n_bytes", LongType()),
     StructField("n_errors", LongType()),
     StructField("checksum", LongType()),
+    # flag the partition was parsed under (run_pipeline(transcode=...)):
+    # resume compares it against the current run's flag and fails fast on
+    # mismatch, since completed partitions are never re-parsed. Manifests
+    # written before this column read NULL = parsed without transcode.
+    StructField("transcode", BooleanType()),
 ])

@@ -246,3 +246,24 @@ def test_parse_batch_fused_encoding_column():
     # fused path == feeding pre-transcoded utf-8 bytes, bit for bit
     assert by_url[url] == by_url["https://a.example/u8"]
     assert st["https://a.example/null"] == "err:null-input"
+
+
+def test_resume_enforces_transcode_flag(spark, tmp_path):
+    """The lineage manifest records the transcode flag per partition;
+    resuming with the other value must fail fast (completed partitions are
+    never re-parsed, so flipping the flag would mix decode semantics in
+    one sink), while resuming with the same value proceeds."""
+    from htmlparser_spark.pipeline.job import run_pipeline
+
+    out = str(tmp_path / "out")
+    pages = synth_charset_pages(spark, 20, seed=SEED, partitions=2)
+    run_pipeline(spark, pages, out, transcode=True)
+
+    with pytest.raises(ValueError, match="transcode=False on a resumed"):
+        run_pipeline(spark, pages, out, transcode=False)
+
+    m = run_pipeline(spark, pages, out, transcode=True)  # same flag: fine
+    assert m["pages"] == 20
+    # and the manifest carries the flag on every partition row
+    rows = spark.read.parquet(str(tmp_path / "out" / "_lineage")).collect()
+    assert rows and all(r.transcode is True for r in rows)
