@@ -182,7 +182,12 @@ def parse_pages(df: DataFrame, extract: bool = True,
                 columns=None) -> DataFrame:
     """Kernel stage. `columns` prunes the OUTPUT columns (see
     kernel_stage.parsed_schema): a consumer that only aggregates
-    status/counters should not pay to build and Arrow-ship text/spans."""
+    status/counters should not pay to build and Arrow-ship text/spans.
+
+    If `df` carries an `encoding` column (charset.with_sniffed_encoding —
+    or any caller-declared per-page codec label), the kernel re-encodes
+    non-UTF-8 pages from it before parsing; absent the column, bytes are
+    decoded UTF-8-with-replacement (reference parity)."""
     from .kernel_stage import parsed_schema
     return df.mapInPandas(partial(parse_batch, extract=extract,
                                   columns=columns),
