@@ -52,8 +52,17 @@ def read_page_stream(spark: SparkSession, src_dir: str,
     return reader.parquet(src_dir)
 
 
-def parse_page_stream(pages: DataFrame, extract: bool = True) -> DataFrame:
-    """S5 on a stream: identical kernel, identical output schema."""
+def parse_page_stream(pages: DataFrame, extract: bool = True,
+                      transcode: bool = False) -> DataFrame:
+    """S5 on a stream: identical kernel, identical output schema.
+
+    transcode: same fused charset pass as the batch pipeline — the sniff
+    columns are stateless per-row codegen and the re-encode lives inside
+    parse_batch, so it is legal on a streaming DataFrame and adds nothing
+    to the plan beyond the scan projection."""
+    if transcode:
+        from ..sources.charset import with_sniffed_encoding
+        pages = with_sniffed_encoding(pages).drop("method")
     with_key = pages.withColumn(
         "part_key", F.pmod(F.xxhash64("url"), F.lit(4096)).cast("long"))
     return with_key.mapInPandas(

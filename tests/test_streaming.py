@@ -210,3 +210,38 @@ def test_links_stream_incremental_and_matches_batch(spark, tmp_path):
     key = ["url", "seq", "href", "href_abs", "dst_host", "anchor", "nofollow"]
     assert (sorted(tuple(r) for r in got.select(*key).collect())
             == sorted(tuple(r) for r in exp.select(*key).collect()))
+
+
+def test_stream_transcode_parses_legacy_charsets(spark, tmp_path):
+    """parse_page_stream(transcode=True) on a streaming micro-batch: the
+    fused charset pass is stateless per-row, so it runs unchanged on a
+    stream — Shift_JIS pages come out mojibake-free, and the plain run
+    over the same drop yields replacement chars for them."""
+    from htmlparser_spark.synth import CHARSET_SAMPLES, synth_charset_pages
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    synth_charset_pages(spark, 30, seed=42, partitions=2) \
+        .write.mode("overwrite").parquet(os.path.join(src, "drop1"))
+
+    def drain(transcode):
+        parsed = parse_page_stream(read_page_stream(spark, src),
+                                   transcode=transcode)
+        q = (parsed.writeStream.format("memory")
+             .queryName(f"t_{int(transcode)}")
+             .option("checkpointLocation",
+                     str(tmp_path / f"ckpt_{int(transcode)}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r.url: r.main_text
+                for r in spark.sql(
+                    f"select url, main_text from t_{int(transcode)}")
+                .collect()}
+
+    fixed, raw = drain(True), drain(False)
+    assert len(fixed) == len(raw) == 30
+    jp = CHARSET_SAMPLES["shift_jis"][:6]
+    sj_urls = [u for u, t in fixed.items() if jp in t]
+    assert sj_urls  # the Shift_JIS class parsed clean under transcode
+    for u in sj_urls:
+        assert jp not in raw[u]  # and mojibake'd without it
