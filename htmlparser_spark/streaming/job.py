@@ -184,12 +184,15 @@ def host_rollup_stream(parsed: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
-def run_stream_once(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
+def run_stream_once(spark: SparkSession, src_dir: str, out_dir: str,
+                    transcode: bool = False) -> dict:
     """Drain everything currently in src_dir through the kernel into
     out_dir/parsed exactly once (availableNow), then stop. Re-running after
-    new files arrive processes ONLY the new files (checkpoint)."""
+    new files arrive processes ONLY the new files (checkpoint). transcode
+    must stay constant across drains of one out_dir (same contract as the
+    batch pipeline's resumed sinks)."""
     pages = read_page_stream(spark, src_dir)
-    parsed = parse_page_stream(pages)
+    parsed = parse_page_stream(pages, transcode=transcode)
     q = write_parsed_stream(parsed, out_dir)
     q.awaitTermination()
     parsed_dir = os.path.join(out_dir, "parsed")
