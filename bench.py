@@ -138,8 +138,19 @@ def _transcode_measure(spark, n_pages: int) -> dict:
         parsed.agg(F.count(F.lit(1))).collect()
         return time.monotonic() - t0
 
-    plain = min(run(False) for _ in range(REPS))
-    fused = min(run(True) for _ in range(REPS))
+    # Warm both arms once (the fused arm's first run pays per-worker imports
+    # of the charset kernel), then measure INTERLEAVED plain/fused pairs and
+    # take the min per arm. Two sequential min-of-K blocks are not enough on
+    # this host: contention drifts over seconds, so whichever arm runs second
+    # absorbs a different noise regime and the delta is biased (r3 recorded
+    # +65% in the artifact window vs -1.3% in a quiet window for the same
+    # code). Interleaving puts both arms in every window.
+    run(False)
+    run(True)
+    reps = max(REPS, 3)
+    pairs = [(run(False), run(True)) for _ in range(reps)]
+    plain = min(p for p, _ in pairs)
+    fused = min(f for _, f in pairs)
     return {"pages": n_pages, "sec_plain": round(plain, 3),
             "sec_transcode": round(fused, 3),
             "overhead_pct": round(100.0 * (fused - plain) / plain, 1)}
@@ -226,11 +237,13 @@ def run_kernel_once(n_pages: int, reps: int = 3) -> dict:
 def run_scaling(levels=(2, 8, 32), n_pages: int | None = None) -> dict:
     """Same job, same input, N and 4N parallelism, fresh JVM each -> scaling
     efficiency = (T_N / T_4N) / 4, reported for both (2,8) and (8,32)."""
-    # 4x the default corpus so the parse work dwarfs the fixed per-job floor
-    # (shuffle setup, stage scheduling, driver agg — ~2 s regardless of level);
-    # at 16k pages that floor alone caps the measurable speedup at ~2.5x
+    # 6x the default corpus: big enough that the parse work dwarfs the fixed
+    # per-job floor (shuffle setup, stage scheduling, driver agg — ~2 s
+    # regardless of level; at 16k pages that floor alone caps the measurable
+    # speedup at ~2.5x) AND meets the protocol's >= 50k pages / >= 500 MB raw
+    # HTML input size (96k synth pages ~= 550 MB at ~5.7 KB/page).
     n_pages = n_pages or int(os.environ.get("SPARK_GRAFT_SCALING_PAGES",
-                                            str(KERNEL_PAGES * 4)))
+                                            str(KERNEL_PAGES * 6)))
     # pre-generate the corpus once at full parallelism so the local[2] run
     # doesn't spend minutes synthesizing it
     gen = _session(32)

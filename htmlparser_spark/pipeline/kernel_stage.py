@@ -60,6 +60,12 @@ def parse_batch(batches: Iterator[pd.DataFrame], extract: bool = True,
         if n == 0:
             continue
         htmls = pdf["html"].tolist()
+        # html_bytes means RAW CAPTURE bytes: measure before the transcode
+        # rebinding below so lineage n_bytes and bench MB/s keep one meaning
+        # whether or not the fused re-encode runs (run_pipeline only
+        # guarantees content_hash stays raw; bytes must match it).
+        raw_lens = ([len(h) if h is not None else 0 for h in htmls]
+                    if w_bytes else None)
         if "encoding" in pdf.columns:
             # fused charset transcode (run_pipeline(transcode=True)): the
             # sniff is a codegen column computed in the SAME scan projection,
@@ -128,9 +134,8 @@ def parse_batch(batches: Iterator[pd.DataFrame], extract: bool = True,
                 kernel_lists["n_nodes"].append(r["n_nodes"])
             if w_elems:
                 kernel_lists["n_elements"].append(r["n_elements"])
-            if w_bytes:
-                kernel_lists["html_bytes"].append(
-                    len(html) if html is not None else 0)
+        if w_bytes:
+            kernel_lists["html_bytes"] = raw_lens
         out.update(kernel_lists)
         yield pd.DataFrame(out, columns=cols)
 

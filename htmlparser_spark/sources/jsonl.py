@@ -93,7 +93,11 @@ def write_jsonl(df, out_dir: str) -> list:
 
     manifest = (df.mapInPandas(w, schema="path string, n_records long")
                 .collect())
-    return [(r["path"], r["n_records"]) for r in manifest if r["path"]]
+    out = [(r["path"], r["n_records"]) for r in manifest if r["path"]]
+    # idempotent re-runs: drop shards a previous (wider) run left behind
+    from ._shards import gc_stale_shards
+    gc_stale_shards(out_dir, ".jsonl.gz", [p for p, _n in out])
+    return out
 
 
 def read_jsonl(spark, path: str, schema):

@@ -244,9 +244,17 @@ def write_wet(parsed_df, out_dir: str) -> list:
         for pdf in batches:
             for url, ts, text in zip(pdf["url"], pdf["warc_ts"],
                                      pdf["main_text"]):
-                ts = ts.to_pydatetime()
-                if ts.tzinfo is None:
-                    ts = ts.replace(tzinfo=_dt.timezone.utc)
+                # read_warc yields ts=None for records whose WARC-Date was
+                # malformed (a tolerated salvage path); that arrives here as
+                # pandas NaT, whose strftime raises and would fail the whole
+                # sink task on every retry. Substitute the epoch sentinel
+                # rather than dropping salvaged text over a bad date.
+                if ts is None or pd.isna(ts):
+                    ts = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+                else:
+                    ts = ts.to_pydatetime()
+                    if ts.tzinfo is None:
+                        ts = ts.replace(tzinfo=_dt.timezone.utc)
                 buf.write(_warc_record(
                     "conversion",
                     {"WARC-Target-URI": url,
@@ -271,7 +279,11 @@ def write_wet(parsed_df, out_dir: str) -> list:
     manifest = (parsed_df.select("url", "warc_ts", "main_text")
                 .mapInPandas(w, schema="path string, n_records long")
                 .collect())
-    return [(r["path"], r["n_records"]) for r in manifest if r["path"]]
+    out = [(r["path"], r["n_records"]) for r in manifest if r["path"]]
+    # idempotent re-runs: drop shards a previous (wider) run left behind
+    from ._shards import gc_stale_shards
+    gc_stale_shards(out_dir, ".warc.wet.gz", [p for p, _n in out])
+    return out
 
 
 def read_wet(spark, path: str):

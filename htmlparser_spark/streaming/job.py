@@ -184,13 +184,42 @@ def host_rollup_stream(parsed: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def _check_stream_flags(out_dir: str, transcode: bool) -> None:
+    """Enforce the flag-constancy contract across drains of one out_dir,
+    mirroring the batch pipeline's lineage-manifest check: a caller flipping
+    transcode between drains would otherwise silently produce a parsed sink
+    half-decoded each way with nothing recording which. The flag is persisted
+    once in a marker file next to the checkpoint dir (it cannot live IN the
+    checkpoint: Spark owns that layout)."""
+    marker = os.path.join(out_dir, "_stream_flags.json")
+    want = {"transcode": bool(transcode)}
+    if os.path.exists(marker):
+        import json
+        with open(marker) as f:
+            have = json.load(f)
+        if have != want:
+            raise ValueError(
+                f"stream flag mismatch for {out_dir!r}: this drain requested "
+                f"{want} but the sink was created with {have}; use a new "
+                "out_dir (or keep the original flags) — mixed decodes in one "
+                "parsed sink are unrecoverable")
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        import json
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(want, f)
+        os.replace(tmp, marker)
+
+
 def run_stream_once(spark: SparkSession, src_dir: str, out_dir: str,
                     transcode: bool = False) -> dict:
     """Drain everything currently in src_dir through the kernel into
     out_dir/parsed exactly once (availableNow), then stop. Re-running after
     new files arrive processes ONLY the new files (checkpoint). transcode
     must stay constant across drains of one out_dir (same contract as the
-    batch pipeline's resumed sinks)."""
+    batch pipeline's resumed sinks) — enforced via a marker file."""
+    _check_stream_flags(out_dir, transcode)
     pages = read_page_stream(spark, src_dir)
     parsed = parse_page_stream(pages, transcode=transcode)
     q = write_parsed_stream(parsed, out_dir)

@@ -267,3 +267,22 @@ def test_resume_enforces_transcode_flag(spark, tmp_path):
     # and the manifest carries the flag on every partition row
     rows = spark.read.parquet(str(tmp_path / "out" / "_lineage")).collect()
     assert rows and all(r.transcode is True for r in rows)
+
+
+def test_fused_transcode_keeps_raw_byte_accounting():
+    """html_bytes means RAW capture bytes even when the fused transcode
+    rebinds the kernel's input to re-encoded utf-8 (lineage n_bytes and
+    bench MB/s must not silently change meaning with the flag)."""
+    import pandas as pd
+
+    from htmlparser_spark.pipeline.kernel_stage import parse_batch
+
+    url, ts, raw, _t, _l = gen_charset_page(SEED, 6)  # shift_jis page
+    u8 = decode_bytes(raw, "shift_jis").encode("utf-8")
+    assert len(u8) != len(raw)  # the re-encode really changes the length
+    pdf = pd.DataFrame({
+        "url": [url], "warc_ts": [ts], "html": [raw], "lang": [""],
+        "encoding": ["shift_jis"],
+    })
+    out = pd.concat(list(parse_batch(iter([pdf]), columns=["url", "html_bytes"])))
+    assert int(out["html_bytes"].iloc[0]) == len(raw)

@@ -108,3 +108,19 @@ def test_jsonl_one_shard_per_task(spark, tmp_path):
     with open(os.path.join(out, files[0]), "rb") as f:
         first = gzip.decompress(f.read()).decode().splitlines()[0]
     assert first.startswith('{"url":')
+
+
+def test_jsonl_rerun_with_fewer_partitions_gcs_stale_shards(spark, tmp_path):
+    """Shards are named by partition id, so a narrower re-run must remove
+    the wider run's leftover shards — directory-glob consumers would
+    otherwise read duplicated records."""
+    out = str(tmp_path / "shards")
+    df = spark.range(40).selectExpr("concat('u', id) AS url",
+                                    "cast(id as string) AS text")
+    write_jsonl(df.repartition(4), out)
+    assert len([f for f in os.listdir(out) if f.endswith(".jsonl.gz")]) == 4
+    manifest = write_jsonl(df.repartition(1), out)
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl.gz")]
+    assert len(files) == len(manifest) == 1
+    back = read_jsonl(spark, os.path.join(out, "*.jsonl.gz"), df.schema)
+    assert back.count() == 40

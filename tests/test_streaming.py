@@ -245,3 +245,21 @@ def test_stream_transcode_parses_legacy_charsets(spark, tmp_path):
     assert sj_urls  # the Shift_JIS class parsed clean under transcode
     for u in sj_urls:
         assert jp not in raw[u]  # and mojibake'd without it
+
+
+def test_stream_transcode_flag_must_stay_constant(spark, tmp_path):
+    """Flipping transcode between drains of one out_dir raises instead of
+    silently mixing decode regimes in the parsed sink (the streaming
+    analogue of the batch lineage-manifest flag check)."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    _write_batch(spark, src, 10, 42, "d1")
+    run_stream_once(spark, src, out, transcode=False)
+    with pytest.raises(ValueError, match="stream flag mismatch"):
+        run_stream_once(spark, src, out, transcode=True)
+    # same flag keeps draining fine
+    _write_batch(spark, src, 5, 7, "d2")
+    r = run_stream_once(spark, src, out, transcode=False)
+    assert r["rows_total"] > 0

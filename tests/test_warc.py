@@ -199,3 +199,38 @@ def test_wet_sink_round_trip(spark, tmp_path):
     got = sorted((r["url"], r["warc_ts"], r["text"])
                  for r in back.collect())
     assert got == exp  # extracted text survives the WET container exactly
+
+
+def test_wet_rerun_with_fewer_partitions_gcs_stale_shards(spark, tmp_path):
+    from htmlparser_spark.sources import read_wet, write_wet
+
+    out = str(tmp_path / "wet")
+    parsed = spark.range(40).selectExpr(
+        "concat('https://h.example/', id) AS url",
+        "timestamp'2025-01-01 00:00:00' AS warc_ts",
+        "concat('text ', id) AS main_text")
+    write_wet(parsed.repartition(4), out)
+    assert len([f for f in os.listdir(out) if f.endswith(".warc.wet.gz")]) == 4
+    segs = write_wet(parsed.repartition(1), out)
+    files = [f for f in os.listdir(out) if f.endswith(".warc.wet.gz")]
+    assert len(files) == len(segs) == 1
+    assert read_wet(spark, os.path.join(out, "*.warc.wet.gz")).count() == 40
+
+
+def test_wet_sink_tolerates_null_warc_ts(spark, tmp_path):
+    """read_warc yields ts=None for malformed WARC-Date records (salvage
+    path); the WET sink must not fail the whole task on them — it writes
+    the epoch sentinel instead of dropping salvaged text."""
+    from htmlparser_spark.sources import read_wet, write_wet
+
+    out = str(tmp_path / "wet")
+    parsed = spark.createDataFrame(
+        [("https://a.example/ok", datetime.datetime(2025, 1, 2), "good"),
+         ("https://a.example/bad-date", None, "salvaged")],
+        "url string, warc_ts timestamp, main_text string")
+    segs = write_wet(parsed.coalesce(1), out)
+    assert sum(n for _p, n in segs) == 2
+    back = {r["url"]: r["warc_ts"]
+            for r in read_wet(spark, os.path.join(out, "*.warc.wet.gz")).collect()}
+    assert back["https://a.example/bad-date"] == datetime.datetime(1970, 1, 1)
+    assert back["https://a.example/ok"] == datetime.datetime(2025, 1, 2)
