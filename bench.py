@@ -305,8 +305,10 @@ task instructions ("e.g. local[8] and local[32], or N and 4N cores").
 
 Job: parse+extract of {rep['levels'][str(levels[0])]['pages']} deterministic
 synthetic Common-Crawl-style pages
-({rep['levels'][str(levels[0])]['bytes'] / 1e6:.0f} MB raw HTML, seed={SEED},
-htmlparser_spark/synth.py, pre-written to parquet) through the round-3
+({rep['levels'][str(levels[0])]['bytes'] / 1e6:.0f} MB raw HTML — the
+protocol floor is >= 50k pages / >= 500 MB so Python-worker startup stays
+< 5% of wall time; seed={SEED},
+htmlparser_spark/synth.py, pre-written to parquet) through the
 pipeline kernel stage: scan -> MAP-ONLY mapInPandas Arrow kernel -> output
 aggregation (raw html never crosses an exchange; the parquet splitter's
 byte-balanced bin-packing is the load balancing — see docs/PLANS.md §1).
@@ -324,7 +326,7 @@ vCPU-migration noise slows arbitrary windows >3x).
 |---|---|---|
 {pair_rows}
 
-## Why the 8->32 pair saturates in this sandbox (and would not on a cluster)
+## The 8->32 pair and the host's steal tax
 
 `local[N]` threads share ONE machine's memory bandwidth, shuffle disk, LLC
 — and, on this Firecracker VM, the hypervisor's physical cores: /proc/stat
@@ -345,14 +347,19 @@ executor-count scaling has no algorithmic barrier; the pipeline's single
 exchange carries only the parsed output, keyed on the deterministic
 part_key.
 
-Cross-day evidence that the 32-wide ceiling is the HOST, not the code: on
-2026-08-17 two full --scaling passes hours apart measured local[2] at
-20.0-22.2 s and local[8] at 5.5-6.2 s — both matching the quiet-day
-numbers above within noise — while the SAME binary's local[32] windows
-read 10.5, 16.5, 18.9 and 34.4 s vs the quiet-day 6.58 s. Partial-width
-runs are reproducible across days; only full-width runs swing 2.5-5x,
-which is exactly the signature of hypervisor steal scaling with vCPU
-occupancy.
+Cross-day evidence that the 32-wide ceiling is the HOST, not the code:
+on 2026-08-17 two full --scaling passes hours apart measured local[2] at
+20.0-22.2 s and local[8] at 5.5-6.2 s (67k-page corpus) — reproducible —
+while the SAME binary's local[32] windows read 10.5, 16.5, 18.9 and
+34.4 s vs that day's quiet 6.58 s. Partial-width runs reproduce across
+days; only full-width runs swing 2.5-5x — the signature of hypervisor
+steal scaling with vCPU occupancy. The round-4 regen at the 96k-page
+protocol size caught the converse: within ONE run local[32] attempts read
+63.5 s, 6.55 s, then 3.60 s (27,972 pages/s / 161 MB/s — 1.93x over
+local[8], pair efficiency 0.483, the best full-width window observed),
+confirming again that the map-only stage has no 32-way barrier and the
+residual sub-1.0 full-width efficiency is the shared-hardware ceiling the
+calibration predicts (~16.6x at 32 procs ≈ 0.52 efficiency vs 8 procs).
 
 Reference baseline: the reference repo publishes no benchmark of any kind
 (SURVEY.md §6) — it is a single-threaded C# console app that parses one
@@ -361,9 +368,9 @@ best-of-3 --kernel-run 4000 on a quiet window); the
 Spark stage reached
 {max(lv['pages_per_sec'] for lv in rep['levels'].values()):.0f} pages/s
 ({max(lv['mb_per_sec'] for lv in rep['levels'].values()):.0f} MB/s) at its
-best level IN THIS RUN's contention window (separate quiet-host local[32]
-measurements of the same stage reach ~14k pages/s / ~82 MB/s after the
-round-3 map-only restructure; ~11.4k with the round-2 pre-parse shuffle).
+best level in this run (~11.4k pages/s with the round-2 pre-parse shuffle
+shape; the round-3 map-only restructure plus quiet-host windows lifted
+full-width to the current figure).
 
 ## Host-noise calibration (round-3 triple-run evidence)
 
@@ -377,6 +384,21 @@ Protocol: never read a single wall-clock number on this box; min-of-K or
 nothing. The round-2 "regressions" closed as noise on re-measure:
 embedding_topk 0.741-0.846 s (r2 recorded 1.186 s with an unchanged plan),
 text_quality/lang_id/fingerprint back at r1-era 0.18-0.41 s.
+
+## Fused-transcode marginal cost (round-4 reconciliation)
+
+Round 3 published two contradictory transcode numbers (-1.3% in a quiet
+window's prose, +65.2% in the committed BENCH_r03.json artifact): the old
+side metric timed all plain reps then all fused reps, so whichever arm ran
+second absorbed a different host-noise regime and the delta was biased.
+The metric now warms BOTH arms (the fused arm's first run pays per-worker
+charset-kernel imports) and measures INTERLEAVED plain/fused pairs, min
+per arm. Two back-to-back full-bench runs at sf0.1/local[32] (2026-08-18)
+read +3.5% and +4.9% on the adversarial 50%-non-UTF-8 4000-page corpus —
+small and reproducible, as expected: the sniff is codegen in the existing
+scan projection, the re-encode touches only detected non-UTF-8 pages, and
+real crawls are ~5% non-UTF-8, so the production-mix cost is ~1/10 of
+this upper bound.
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)

@@ -846,6 +846,120 @@ def dedup_embedding_cosine(spark, sf_dir, threshold=0.40):
     return pairs.select("vec_a", "vec_b", F.round("cos", 4).alias("cos_r"))
 
 
+def _cell_pops(assigned: DataFrame) -> DataFrame:
+    """(cell, pop) — at most |cells| ≈ √n rows, partial-agg below the
+    exchange; always broadcastable."""
+    return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("pop"))
+
+
+def embedding_ivf_cell_stats(spark, sf_dir):
+    """Per-distribution IVF cell-population report — the balance check an
+    IVF deployment runs before trusting the √n-cell cost model. argmax
+    assignment guarantees NOTHING about balance: on the mixture-of-blobs
+    set (_emb_clustered) vectors collapse into the blob-aligned cells
+    (max_pop ≫ the uniform distribution's), and at 100 TB a hot cell is a
+    straggler task in any within-cell pair join (see
+    _cell_pairs_balanced for the mitigation; the ANN SEARCH path needs
+    none — _ivf_search joins the corpus against a BROADCAST probe list,
+    so no shuffle ever keys on cell there). All-integer columns keep the
+    oracle compare exact."""
+    n_cent = _ivf_n_centroids(_emb_count(spark, sf_dir))
+    parts = []
+    for dist, emb in (("uniform", _emb(spark, sf_dir)),
+                      ("clustered", _emb_clustered(spark, sf_dir))):
+        cents = (emb.filter(F.col("vec_id") < n_cent)
+                 .select(F.col("vec_id").alias("cent_id"),
+                         F.col("v").alias("cv")))
+        pops = _cell_pops(_ivf_assign(emb, cents))
+        parts.append(pops.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.min("pop").alias("min_pop"),
+            F.max("pop").alias("max_pop"),
+            F.sum("pop").alias("n_vectors"))
+            .select(F.lit(dist).alias("dist"), "n_cells", "min_pop",
+                    "max_pop", "n_vectors"))
+    return parts[0].unionAll(parts[1])
+
+
+def _with_subcells(assigned: DataFrame, max_cell: int) -> DataFrame:
+    """Deterministic hash split of oversized cells: a cell with population
+    pop gets n_sub = ceil(pop / max_cell) sub-cells and each of its vectors
+    lands in sub = xxhash64(vec_id) % n_sub. The (pop, n_sub) table is ≤
+    |cells| rows and broadcast — the corpus itself never shuffles here. The
+    split is hash-based (a parallelism key, no geometric meaning), so any
+    consumer must either stay within (cell, sub) for same-sub work or pair
+    sub-cells explicitly (_cell_pairs_balanced) — never treat sub as a
+    nearest-neighbor refinement."""
+    subs = _cell_pops(assigned).select(
+        "cell", F.ceil(F.col("pop") / F.lit(max_cell)).cast("long")
+        .alias("n_sub"))
+    return (assigned.join(F.broadcast(subs), "cell")
+            .withColumn("sub", F.pmod(F.xxhash64("vec_id"), F.col("n_sub"))))
+
+
+def _cell_pairs_balanced(assigned: DataFrame, max_cell: int) -> DataFrame:
+    """The EXACT pair set of the plain within-cell self-join
+    (a.join(b, "cell"), vec_a < vec_b) with per-task work bounded by
+    ~max_cell² instead of hot_cell²: the textbook skew-salted self-join.
+
+      - same-sub pairs: equi-join on (cell, sub) with vec_a < vec_b —
+        each unordered same-sub pair appears exactly once;
+      - cross-sub pairs: the LEFT side in sub i replicates to keys
+        (cell, i, j) for every j > i, the RIGHT side in sub j replicates
+        to (cell, i, j) for every i < j; the equi-join on (cell, i, j)
+        with i < j strict yields each cross-sub pair exactly once
+        REGARDLESS of vec_id order, then least/greatest canonicalizes.
+
+    Replication factor per row is n_sub − 1 ≈ pop/max_cell — the standard
+    price of an exact skew join, paid only by oversized cells (n_sub = 1
+    cells replicate nothing and take the same-sub path only). Union'ing
+    the two disjoint pair families needs no dedup."""
+    s = _with_subcells(assigned, max_cell)
+    a = s.select("cell", "n_sub", "sub",
+                 F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = s.select("cell", "sub",
+                 F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    within = (a.drop("n_sub").join(b, ["cell", "sub"])
+              .filter(F.col("vec_a") < F.col("vec_b"))
+              .select("vec_a", "va", "vec_b", "vb"))
+    # Spark's sequence(start, stop) DESCENDS when start > stop — filter the
+    # no-cross-partner rows out before exploding instead of relying on it
+    left = (a.filter(F.col("sub") < F.col("n_sub") - 1)
+            .withColumn("j", F.explode(
+                F.sequence(F.col("sub") + F.lit(1), F.col("n_sub") - F.lit(1))))
+            .select("cell", F.col("sub").alias("i"), "j",
+                    F.col("vec_a").alias("id_l"), F.col("va").alias("v_l")))
+    right = (b.filter(F.col("sub") > 0)
+             .withColumn("i", F.explode(
+                 F.sequence(F.lit(0).cast("long"), F.col("sub") - F.lit(1))))
+             .select("cell", "i", F.col("sub").alias("j"),
+                     F.col("vec_b").alias("id_r"), F.col("vb").alias("v_r")))
+    cross = (left.join(right, ["cell", "i", "j"])
+             .select(F.least("id_l", "id_r").alias("vec_a"),
+                     F.col("v_l").alias("va"),  # cosine is symmetric
+                     F.greatest("id_l", "id_r").alias("vec_b"),
+                     F.col("v_r").alias("vb")))
+    return within.unionAll(cross)
+
+
+def dedup_embedding_cosine_balanced(spark, sf_dir, threshold=0.95,
+                                    max_cell=16):
+    """dedup_embedding_cosine's pair join on the CLUSTERED distribution —
+    where the blob-aligned cells are hot (embedding_ivf_cell_stats) — with
+    the oversized-cell split. The oracle is the PLAIN unsplit SQL pair
+    join over the same vectors, so the driver's hash check proves the
+    balanced plan emits the bit-identical pair set (the dedup analogue of
+    'recall unchanged')."""
+    emb = _emb_clustered(spark, sf_dir)
+    n_cent = _ivf_n_centroids(_emb_count(spark, sf_dir))
+    cents = (emb.filter(F.col("vec_id") < n_cent)
+             .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")))
+    pairs = (_cell_pairs_balanced(_ivf_assign(emb, cents), max_cell)
+             .withColumn("cos", _cosine(F.col("va"), F.col("vb")))
+             .filter(F.col("cos") >= threshold))
+    return pairs.select("vec_a", "vec_b", F.round("cos", 4).alias("cos_r"))
+
+
 def dedup_semantic_cc(spark, sf_dir, threshold=0.40):
     """SemDeDup-shaped semantic dedup: connected components over the
     embedding-cosine near-dup pair graph, keeping one canonical vector per
@@ -2053,6 +2167,11 @@ def host_pagerank(spark, sf_dir):
     hosts = (_t(spark, sf_dir, "documents")
              .select("source").distinct()
              .withColumnRenamed("source", "host"))
+    # NOTE: this hosts×hosts crossJoin is SYNTHETIC-GRAPH SCAFFOLDING only
+    # (documents has no link column; testdata has ~20 distinct sources) —
+    # it is NOT a corpus-scale pattern and must never run over real hosts.
+    # The production path is link_pagerank, whose edges come from the parse
+    # kernel's outlinks (pipeline/links_stage.py) with |edges| shuffle.
     edges = (hosts.select(F.col("host").alias("src"))
              .crossJoin(hosts.select(F.col("host").alias("dst")))
              .filter(F.col("src") != F.col("dst"))

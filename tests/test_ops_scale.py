@@ -218,3 +218,52 @@ def test_pagerank_fixed_point_properties(spark, tmp_path):
     base = (ops.PR_SCALE * 15 // 100) // n
     assert all(r >= base for _h, r in a)
     assert sum(r for _h, r in a) <= ops.PR_SCALE  # mass never created
+
+
+TESTDATA_SF = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+def test_ivf_hot_cell_split_bounds_tasks_and_keeps_pairs(spark):
+    """Clustered corpora make argmax IVF assignment skewed (hot blob-aligned
+    cells → straggler tasks in within-cell pair joins at 100 TB). The
+    oversized-cell hash split must (a) bound every (cell, sub) population,
+    and (b) emit the EXACT pair set of the plain within-cell self-join —
+    no pair lost, no pair duplicated."""
+    from pyspark.sql import functions as F
+
+    max_cell = 16
+    emb = ops._emb_clustered(spark, TESTDATA_SF)
+    n_cent = ops._ivf_n_centroids(ops._emb_count(spark, TESTDATA_SF))
+    cents = (emb.filter(F.col("vec_id") < n_cent)
+             .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")))
+    assigned = ops._materialized(ops._ivf_assign(emb, cents), "ivf_split_test")
+
+    pops = {r["cell"]: r["pop"] for r in ops._cell_pops(assigned).collect()}
+    mean = sum(pops.values()) / len(pops)
+    assert max(pops.values()) > 2 * mean  # the skew this test is about is real
+
+    sub_pops = (ops._with_subcells(assigned, max_cell)
+                .groupBy("cell", "sub").count().collect())
+    assert max(r["count"] for r in sub_pops) <= 2 * max_cell
+    # every oversized cell actually split
+    n_sub = {}
+    for r in sub_pops:
+        n_sub[r["cell"]] = max(n_sub.get(r["cell"], 0), r["sub"] + 1)
+    for cell, pop in pops.items():
+        if pop > max_cell:
+            assert n_sub[cell] > 1, f"hot cell {cell} (pop {pop}) not split"
+
+    plain = sorted(
+        (r["vec_a"], r["vec_b"])
+        for r in assigned.select("cell", F.col("vec_id").alias("vec_a"),
+                                 F.col("v").alias("va"))
+        .join(assigned.select("cell", F.col("vec_id").alias("vec_b")), "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b").collect())
+    balanced = sorted(
+        (r["vec_a"], r["vec_b"])
+        for r in ops._cell_pairs_balanced(assigned, max_cell)
+        .select("vec_a", "vec_b").collect())
+    assert balanced == plain          # exact: nothing lost, nothing added
+    assert len(balanced) == len(set(balanced))  # and no duplicates
+    ops.cleanup_checkpoints()

@@ -263,3 +263,67 @@ def test_stream_transcode_flag_must_stay_constant(spark, tmp_path):
     _write_batch(spark, src, 5, 7, "d2")
     r = run_stream_once(spark, src, out, transcode=False)
     assert r["rows_total"] > 0
+
+
+def test_stream_kill_resume_exactly_once(spark, tmp_path):
+    """Kill a drain mid-stream (SIGKILL, no cleanup), restart from the
+    checkpoint, and assert the parsed sink equals an uninterrupted run's —
+    the streaming analogue of the batch kill-resume test. The file sink's
+    commit log makes readers ignore any part files a killed attempt left
+    uncommitted; the source checkpoint replays the unfinished micro-batch."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = str(tmp_path / "src")
+    out_kill = str(tmp_path / "out_kill")
+    out_ref = str(tmp_path / "out_ref")
+    for i in range(8):
+        _write_batch(spark, src, 400, i + 1, f"d{i}")
+
+    # drain with 1-file micro-batches in a subprocess we can SIGKILL
+    prog = (
+        "import sys\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "from pyspark.sql import SparkSession\n"
+        "from htmlparser_spark.streaming.job import (\n"
+        "    read_page_stream, parse_page_stream, write_parsed_stream)\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .config('spark.sql.shuffle.partitions', '4')\n"
+        "         .config('spark.ui.enabled', 'false').getOrCreate())\n"
+        f"pages = read_page_stream(spark, {src!r}, max_files_per_trigger=1)\n"
+        f"q = write_parsed_stream(parse_page_stream(pages), {out_kill!r})\n"
+        "q.awaitTermination()\n"
+    )
+    p = subprocess.Popen([sys.executable, "-c", prog],
+                         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    # kill as soon as the first micro-batch commits — with 16 source files
+    # and 1-file triggers the drain is nowhere near done at that point
+    commit_dir = os.path.join(out_kill, "parsed", "_spark_metadata")
+    deadline = time.monotonic() + 180
+    while time.monotonic() < deadline:
+        if p.poll() is not None:
+            break
+        if os.path.isdir(commit_dir) and os.listdir(commit_dir):
+            break
+        time.sleep(0.2)
+    if p.poll() is None:
+        p.send_signal(signal.SIGKILL)
+        p.wait()
+        assert os.path.isdir(commit_dir), "never saw a committed batch"
+
+    # resume from the checkpoint in a fresh driver (this pytest session)
+    r = run_stream_once(spark, src, out_kill)
+    ref = run_stream_once(spark, src, out_ref)
+    # synth_pages adds ~5% same-url +1day snapshots, so compare to the
+    # uninterrupted run, not to the nominal page count
+    assert r["rows_total"] == ref["rows_total"] >= 8 * 400
+
+    cols = ["url", "warc_ts", "status", "content_hash", "main_text"]
+    got = sorted(map(tuple, spark.read.parquet(
+        os.path.join(out_kill, "parsed")).select(cols).collect()))
+    want = sorted(map(tuple, spark.read.parquet(
+        os.path.join(out_ref, "parsed")).select(cols).collect()))
+    assert got == want
