@@ -363,9 +363,18 @@ calibration predicts (~16.6x at 32 procs ≈ 0.52 efficiency vs 8 procs).
 
 Reference baseline: the reference repo publishes no benchmark of any kind
 (SURVEY.md §6) — it is a single-threaded C# console app that parses one
-file. Our single-thread Python kernel does ~4.5k pages/s (~26 MB/s,
-best-of-3 --kernel-run 4000 on a quiet window); the
-Spark stage reached
+file. Single-thread kernel, measured honestly across windows: the pure-
+Python loop (no Spark, synth mix, min-of-reps) reads 2.8-3.1k pages/s /
+~18 MB/s on 2026-08-18; one Spark worker (--kernel-run, CPUS=1) reads
+~2.0k pages/s the same day (Arrow + driver overhead), while quieter
+earlier windows recorded up to ~4.5k. The per-core ceiling is a plateau,
+not a backlog: the round-4 profile is FLAT (tokenizer fast/slow hybrid
+20%, arena flatten 12%, tree construction ~8%, then a long tail), the
+slow machine runs only ~13 bounded segments per page (script data,
+entities) by design, and rounds 2-3 already took the profile-directed
+wins. Further single-core gains mean semantic risk against the
+bit-identical fixture gate for <15% — the engine's design point is the
+scale-out column instead: the Spark stage reached
 {max(lv['pages_per_sec'] for lv in rep['levels'].values()):.0f} pages/s
 ({max(lv['mb_per_sec'] for lv in rep['levels'].values()):.0f} MB/s) at its
 best level in this run (~11.4k pages/s with the round-2 pre-parse shuffle
