@@ -822,12 +822,18 @@ def embedding_ann_probe_sweep(spark, sf_dir, k=3, n_queries=5):
     return out
 
 
-def dedup_embedding_cosine(spark, sf_dir, threshold=0.40):
+def dedup_embedding_cosine(spark, sf_dir, threshold=0.40, max_cell=None):
     """Embedding-cosine near-dup pairs. Scale path: candidates restricted to
     pairs sharing an IVF cell (same deterministic ~√n-centroid assignment as
     embedding_ann_ivf) — the shuffle key is the cell, never an n² cross
     join. Cell count grows as √n with the corpus, so expected cell
-    population is ~√n and within-cell pairing stays ~O(n) total."""
+    population is ~√n and within-cell pairing stays ~O(n) total.
+
+    max_cell (opt-in): bound per-task pair work on SKEWED corpora by hash-
+    splitting oversized cells (_cell_pairs_balanced) — emits the identical
+    pair set (driver-proven via dedup_embedding_cosine_balanced's oracle).
+    Default None keeps the plain join: on near-uniform corpora the split's
+    extra broadcast + replication buys nothing."""
     emb = (_t(spark, sf_dir, "embeddings")
            .select("vec_id", F.transform("embedding",
                                          lambda x: x.cast("double")).alias("v")))
@@ -835,13 +841,17 @@ def dedup_embedding_cosine(spark, sf_dir, threshold=0.40):
     cents = (emb.filter(F.col("vec_id") < n_cent)
              .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")))
     assigned = _ivf_assign(emb, cents)
-    a = assigned.select(F.col("cell"), F.col("vec_id").alias("vec_a"),
-                        F.col("v").alias("va"))
-    b = assigned.select(F.col("cell"), F.col("vec_id").alias("vec_b"),
-                        F.col("v").alias("vb"))
-    pairs = (a.join(b, "cell")
-             .filter(F.col("vec_a") < F.col("vec_b"))
-             .withColumn("cos", _cosine(F.col("va"), F.col("vb")))
+    if max_cell is not None:
+        pairs = _cell_pairs_balanced(assigned, max_cell)
+    else:
+        a = assigned.select(F.col("cell"), F.col("vec_id").alias("vec_a"),
+                            F.col("v").alias("va"))
+        b = assigned.select(F.col("cell"), F.col("vec_id").alias("vec_b"),
+                            F.col("v").alias("vb"))
+        pairs = (a.join(b, "cell")
+                 .filter(F.col("vec_a") < F.col("vec_b"))
+                 .select("vec_a", "va", "vec_b", "vb"))
+    pairs = (pairs.withColumn("cos", _cosine(F.col("va"), F.col("vb")))
              .filter(F.col("cos") >= threshold))
     return pairs.select("vec_a", "vec_b", F.round("cos", 4).alias("cos_r"))
 
@@ -960,7 +970,7 @@ def dedup_embedding_cosine_balanced(spark, sf_dir, threshold=0.95,
     return pairs.select("vec_a", "vec_b", F.round("cos", 4).alias("cos_r"))
 
 
-def dedup_semantic_cc(spark, sf_dir, threshold=0.40):
+def dedup_semantic_cc(spark, sf_dir, threshold=0.40, max_cell=None):
     """SemDeDup-shaped semantic dedup: connected components over the
     embedding-cosine near-dup pair graph, keeping one canonical vector per
     semantic cluster. Same reason as dedup_cluster_cc: cosine similarity is
@@ -972,7 +982,7 @@ def dedup_semantic_cc(spark, sf_dir, threshold=0.40):
     the CC rounds shuffle only the pair set (O(log n) rounds, see
     _cc_labels), and the final labeling join strategy is left to AQE."""
     pairs = _materialized(
-        dedup_embedding_cosine(spark, sf_dir, threshold)
+        dedup_embedding_cosine(spark, sf_dir, threshold, max_cell=max_cell)
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")),
         "semantic_cc_pairs")
     labels = _cc_labels(pairs).select(F.col("doc_id").alias("vec_id"),

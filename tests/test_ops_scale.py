@@ -267,3 +267,14 @@ def test_ivf_hot_cell_split_bounds_tasks_and_keeps_pairs(spark):
     assert balanced == plain          # exact: nothing lost, nothing added
     assert len(balanced) == len(set(balanced))  # and no duplicates
     ops.cleanup_checkpoints()
+
+
+def test_embedding_cosine_max_cell_optin_is_equivalent(spark):
+    """dedup_embedding_cosine(max_cell=...) must emit the identical pair set
+    as the default plain join (the opt-in only changes task granularity)."""
+    base = sorted(map(tuple,
+                      ops.dedup_embedding_cosine(spark, TESTDATA_SF).collect()))
+    bal = sorted(map(tuple,
+                     ops.dedup_embedding_cosine(spark, TESTDATA_SF,
+                                                max_cell=8).collect()))
+    assert bal == base and base

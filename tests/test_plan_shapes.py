@@ -248,3 +248,22 @@ def test_surt_keys_map_only_no_python(spark):
     p = plan_of(entry.corpus_surt_keys(spark, SF))
     assert "Exchange" not in p, p
     assert "EvalPython" not in p, p
+
+
+def test_balanced_pair_join_broadcasts_subcell_table(spark):
+    """The oversized-cell split's (cell, n_sub) table is ≤ |cells| rows and
+    must broadcast — the corpus side of _with_subcells never shuffles to
+    learn its sub-cell; the only exchanges in the balanced pair join key on
+    (cell[, i, j]) for the pair joins themselves."""
+    import numpy as np
+    rng = np.random.RandomState(0)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(64)],
+        "vec_id long, v array<double>").repartition(4)
+    cents = (emb.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")))
+    assigned = ops._ivf_assign(emb, cents)
+    p = plan_of(ops._cell_pairs_balanced(assigned, max_cell=8))
+    assert "BroadcastHashJoin" in p, p           # the n_sub lookup
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
