@@ -52,6 +52,38 @@ def read_page_stream(spark: SparkSession, src_dir: str,
     return reader.parquet(src_dir)
 
 
+def read_rate_page_stream(spark: SparkSession, rows_per_second: int = 200,
+                          partitions: int = 2, seed: int = 42) -> DataFrame:
+    """Non-file unbounded source: Spark's built-in ``rate`` source emits
+    (timestamp, value) rows at a fixed rate with backpressure knobs —
+    the in-sandbox stand-in for a Kafka topic (no broker exists here).
+    Pages are synthesized DETERMINISTICALLY from ``value`` through the same
+    generator as the batch synth corpus, so for any consumed value range the
+    stream's contents are reproducible. Going live is a two-line swap:
+    ``format("kafka") + options`` in place of ``format("rate")``, and a
+    (key, value)->page decode in place of _rate_rows_to_pages — everything
+    downstream (kernel, sinks, watermarks, stateful rollups) is source-
+    agnostic."""
+    raw = (spark.readStream.format("rate")
+           .option("rowsPerSecond", rows_per_second)
+           .option("numPartitions", partitions).load())
+    return _rate_rows_to_pages(raw, seed)
+
+
+def _rate_rows_to_pages(raw: DataFrame, seed: int = 42) -> DataFrame:
+    """(timestamp, value) -> PAGES_SCHEMA rows via the deterministic batch
+    page generator (stateless per-row, so legal on a stream)."""
+    from ..synth import gen_page
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [gen_page(seed, int(v)) for v in pdf["value"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return raw.mapInPandas(gen, PAGES_SCHEMA)
+
+
 def parse_page_stream(pages: DataFrame, extract: bool = True,
                       transcode: bool = False) -> DataFrame:
     """S5 on a stream: identical kernel, identical output schema.

@@ -327,3 +327,44 @@ def test_stream_kill_resume_exactly_once(spark, tmp_path):
     want = sorted(map(tuple, spark.read.parquet(
         os.path.join(out_ref, "parsed")).select(cols).collect()))
     assert got == want
+
+
+def test_rate_source_pages_parse_like_batch(spark, tmp_path):
+    """The rate-source (Kafka stand-in) stream runs the SAME kernel and,
+    because pages derive deterministically from `value`, each consumed id
+    parses byte-identically to the batch generator's output."""
+    import time
+
+    from htmlparser_spark.streaming.job import read_rate_page_stream
+    from htmlparser_spark.kernel.api import parse_html
+    from htmlparser_spark.synth import gen_page
+
+    out = os.path.join(str(tmp_path), "parsed")
+    ckpt = os.path.join(str(tmp_path), "_ckpt")
+    parsed = parse_page_stream(read_rate_page_stream(spark,
+                                                     rows_per_second=400))
+    q = (parsed.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(b.get("numOutputRows", 0) > 0
+                   for p in q.recentProgress
+                   for b in [p.get("sink", {})]):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).select(
+        "url", "status", "main_text").collect()
+    assert rows  # the unbounded source produced parsed pages
+    # spot-check determinism: stream row == batch kernel on the same id
+    by_url = {r["url"]: r for r in rows}
+    for url, r in list(by_url.items())[:20]:
+        i = int(url.rsplit("p", 1)[1])
+        u2, _ts, html, _t, _l = gen_page(42, i)
+        assert u2 == url
+        want = parse_html(html, fast=True, extract=True, want_dom=False)
+        assert r["status"] == want["status"]
+        assert r["main_text"] == want["main_text"]
