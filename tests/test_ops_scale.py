@@ -278,3 +278,37 @@ def test_embedding_cosine_max_cell_optin_is_equivalent(spark):
                      ops.dedup_embedding_cosine(spark, TESTDATA_SF,
                                                 max_cell=8).collect()))
     assert bal == base and base
+
+
+@pytest.mark.parametrize("seed,n,n_cells,max_cell", [
+    (0, 30, 2, 3),    # tiny cells, aggressive split
+    (1, 60, 3, 5),
+    (2, 50, 1, 7),    # ONE cell holding everything
+    (3, 40, 5, 1),    # max_cell=1: every cell splits to ~pop sub-cells
+    (4, 80, 4, 100),  # cap never reached: no cell splits at all
+])
+def test_cell_pairs_balanced_property(spark, seed, n, n_cells, max_cell):
+    """Parameter sweep of the skew-split pair join's exactness: random cell
+    assignments, degenerate shapes included (single mega-cell, max_cell=1,
+    cap-never-hit). The balanced join must equal the plain within-cell
+    self-join's pair set with zero duplicates in every configuration."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    rows = [(i, [float(rng.randint(0, 5))], rng.randrange(n_cells))
+            for i in range(n)]
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, v array<double>, cell long")
+
+    plain = sorted(
+        (r["vec_a"], r["vec_b"]) for r in
+        assigned.select("cell", F.col("vec_id").alias("vec_a"))
+        .join(assigned.select("cell", F.col("vec_id").alias("vec_b")), "cell")
+        .filter(F.col("vec_a") < F.col("vec_b")).collect())
+    bal = [(r["vec_a"], r["vec_b"]) for r in
+           ops._cell_pairs_balanced(assigned, max_cell)
+           .select("vec_a", "vec_b").collect()]
+    assert sorted(bal) == plain
+    assert len(bal) == len(set(bal))
