@@ -297,8 +297,15 @@ def test_stream_kill_resume_exactly_once(spark, tmp_path):
         f"q = write_parsed_stream(parse_page_stream(pages), {out_kill!r})\n"
         "q.awaitTermination()\n"
     )
+    # start_new_session puts the python driver AND the Spark JVM it spawns in
+    # one fresh process group: SIGKILLing only the python pid leaves the JVM
+    # running the query for a few more seconds (pyspark's JVM is a child that
+    # notices the gateway died asynchronously), and that orphan races the
+    # resume below into CONCURRENT_STREAM_LOG_UPDATE. killpg is the honest
+    # "machine died" simulation — everything stops at once.
     p = subprocess.Popen([sys.executable, "-c", prog],
-                         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                         start_new_session=True)
     # kill as soon as the first micro-batch commits — with 16 source files
     # and 1-file triggers the drain is nowhere near done at that point
     commit_dir = os.path.join(out_kill, "parsed", "_spark_metadata")
@@ -310,7 +317,10 @@ def test_stream_kill_resume_exactly_once(spark, tmp_path):
             break
         time.sleep(0.2)
     if p.poll() is None:
-        p.send_signal(signal.SIGKILL)
+        try:
+            os.killpg(p.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass  # exited between poll() and killpg
         p.wait()
         assert os.path.isdir(commit_dir), "never saw a committed batch"
 
