@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, StringType
+from pyspark.sql.types import DoubleType, LongType, StringType
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2379,3 +2379,285 @@ def corpus_robots_filter(spark, sf_dir):
         .alias("best_prefix_len"),
         F.coalesce(F.pmod(best, F.lit(2)), F.lit(1)).cast("int")
         .alias("allowed"))
+
+
+# ---------------------------------------------------------------------------
+# k-means / prototype pruning / product quantization
+#
+# All three share one numeric convention: embeddings are converted ONCE to
+# fixed-point int64 components (x[i] = floor(v[i] * 10^6)), so every distance,
+# partial sum, and centroid below is an EXACT integer — the driver's
+# type-sensitive value-hash compare cannot drift on float summation order, and
+# the DuckDB oracles reproduce results bit-for-bit. Magnitudes: |v| < 1 on
+# this corpus, so |x| < 10^6, a squared 64-dim distance < 64·(2·10^6)² ≈
+# 2.6·10^14 and a 10^9-row per-cell component sum < 10^15 — both far inside
+# int64. (At 10^12 rows per cell the component sum would need int128/decimal;
+# noted where it matters.)
+# ---------------------------------------------------------------------------
+
+FP_SCALE = 1_000_000
+KMEANS_K = 8
+KMEANS_ROUNDS = 2
+PQ_M = 4    # subspaces (64 dims -> 4 x 16)
+PQ_KS = 16  # codes per subspace
+
+
+def _emb_fp(spark, sf_dir):
+    """Embeddings as fixed-point int64 component arrays. floor (not round):
+    floor has no .5-tie asymmetry between Spark and DuckDB, and both sides
+    floor the same IEEE double product."""
+    return (_t(spark, sf_dir, "embeddings")
+            .select("vec_id",
+                    F.transform(
+                        "embedding",
+                        lambda e: F.floor(e.cast("double")
+                                          * F.lit(float(FP_SCALE)))
+                        .cast("long")).alias("x")))
+
+
+def _l2_assign(embfp: DataFrame, cent_rows: list) -> DataFrame:
+    """Nearest-centroid assignment under exact integer squared-L2: the
+    ≤k-row codebook ships inside the udf closure (same broadcast-codebook
+    pattern as _ivf_assign) and each Arrow batch computes ‖x‖² − 2·x·Cᵀ +
+    ‖c‖² in one int64 matmul. Zero shuffle. np.argmin returns the FIRST
+    minimal index and cent_rows is sorted by cent_id, so distance ties
+    resolve to the lowest cent_id — matching the oracle's
+    ORDER BY dist ASC, cent_id ASC."""
+    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([r[1] for r in cent_rows], dtype=np.int64)
+    c_sq = np.square(C).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["x"].tolist(), dtype=np.int64)
+            d = (np.square(X).sum(axis=1)[:, None] - 2 * (X @ C.T)
+                 + c_sq[None, :])
+            best = np.argmin(d, axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "x": pdf["x"],
+                                "cell": cent_ids[best],
+                                "dist": d[np.arange(len(best)), best]})
+
+    return embfp.mapInPandas(
+        assign, "vec_id bigint, x array<bigint>, cell bigint, dist bigint")
+
+
+def _kmeans_update(assigned: DataFrame) -> DataFrame:
+    """Centroid update as map-side partial aggregation: posexplode is narrow
+    and the (cell, pos) hash-agg combines BELOW the exchange, so the shuffle
+    carries ≤ partitions·k·dim partial rows regardless of corpus size — never
+    the n·dim exploded rows. New component = floor(sum / count); sum/count is
+    double division on both engines (exact while |sum| < 2⁵³ — true at any
+    population this corpus reaches; a 10¹²-row deployment would move this to
+    DECIMAL). Cells that lost every member simply vanish — deterministic on
+    both engines."""
+    sums = (assigned.select("cell", F.posexplode("x").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")))
+    return (sums
+            .withColumn("c", F.floor(F.col("s") / F.col("n")).cast("long"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
+                 .alias("pc"))
+            .select(F.col("cell").alias("cent_id"),
+                    F.transform("pc", lambda s: s["c"]).alias("cx")))
+
+
+def _kmeans_fit(embfp: DataFrame, k: int, rounds: int):
+    """`rounds` Lloyd iterations (assign + update). Init centroids are the
+    vectors with vec_id < k — deterministic, like the IVF codebook. Each
+    round collects the ≤k×dim centroid table to the driver (the broadcast-
+    codebook pattern), which also truncates the plan: round r+1's lineage
+    restarts from the embedding scan + a closure constant, never stacking r
+    shuffle stages. Cost is the textbook one: `rounds` passes over the data.
+    Returns (final-round assignment DataFrame, final centroid rows) — the
+    assignment is vs the round-(R−1) centroids, the rows are the round-R
+    update derived from exactly that assignment."""
+    cent_rows = [(r["cent_id"], list(r["cx"])) for r in
+                 embfp.filter(F.col("vec_id") < k)
+                 .select(F.col("vec_id").alias("cent_id"),
+                         F.col("x").alias("cx"))
+                 .orderBy("cent_id").collect()]
+    assigned = None
+    for _ in range(rounds):
+        assigned = _l2_assign(embfp, cent_rows)
+        cent_rows = [(r["cent_id"], list(r["cx"])) for r in
+                     _kmeans_update(assigned).orderBy("cent_id").collect()]
+    return assigned, cent_rows
+
+
+def embedding_kmeans(spark, sf_dir, k=KMEANS_K, rounds=KMEANS_ROUNDS):
+    """Distributed Lloyd's k-means over the embeddings — the clustering
+    backbone curation methods build on (SemDeDup cells, cluster-balanced
+    sampling, prototype pruning). Fixed k and round count, deterministic
+    init, exact integer arithmetic throughout: the DuckDB oracle replays
+    both rounds bit-identically. Output is the per-cell fit summary —
+    population, inertia (Σ within-cell squared-L2, the quantity Lloyd
+    monotonically decreases), and the centroid component sum as an integer
+    fingerprint of the fitted codebook."""
+    embfp = _emb_fp(spark, sf_dir)
+    assigned, cent_rows = _kmeans_fit(embfp, k, rounds)
+    pops = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dist").alias("inertia"))
+    cents = spark.createDataFrame(
+        [(int(cid), int(sum(cx))) for cid, cx in cent_rows],
+        "cell bigint, cent_sum bigint")
+    return (pops.join(F.broadcast(cents), "cell")
+            .select("cell", "n", "inertia", "cent_sum"))
+
+
+def corpus_prototype_prune(spark, sf_dir, keep_frac=0.5,
+                           k=KMEANS_K, rounds=KMEANS_ROUNDS):
+    """SSL-prototype pruning (Sorscher et al., "Beyond neural scaling
+    laws"): cluster the corpus, rank each document by distance to its
+    cluster centroid, and keep the ceil(keep_frac·pop) LEAST prototypical
+    (largest-distance) per cluster — redundant near-centroid examples are
+    what large corpora can afford to drop. Rank ties break on vec_id.
+    Per-cluster quota (not a global cutoff) so no cluster is wiped out.
+    Scale shape: the ranking is one window over the assignment — shuffle
+    keys on cell, and the k-means rounds before it are map-only passes."""
+    embfp = _emb_fp(spark, sf_dir)
+    assigned, _ = _kmeans_fit(embfp, k, rounds)
+    w = Window.partitionBy("cell").orderBy(F.col("dist").desc(),
+                                           F.col("vec_id").asc())
+    wc = Window.partitionBy("cell")
+    return (assigned
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .withColumn("pop", F.count(F.lit(1)).over(wc))
+            .filter(F.col("rank")
+                    <= F.ceil(F.lit(float(keep_frac)) * F.col("pop")))
+            .select("vec_id", "cell", "dist", "rank"))
+
+
+def _pq_codebook(embfp: DataFrame) -> np.ndarray:
+    """Per-subspace PQ codebooks, shape (M, KS, dim/M): code c of subspace s
+    is the s-th slice of training vector vec_id = c — deterministic, like
+    the IVF codebook, so the oracle rebuilds it from the table. (A real
+    deployment would train per-subspace k-means with _kmeans_fit; the code
+    path downstream is identical.)"""
+    rows = embfp.filter(F.col("vec_id") < PQ_KS).orderBy("vec_id").collect()
+    dim = len(rows[0]["x"])
+    sub_d = dim // PQ_M
+    return np.array([[list(r["x"][s * sub_d:(s + 1) * sub_d]) for r in rows]
+                     for s in range(PQ_M)], dtype=np.int64)
+
+
+def embedding_pq_encode(spark, sf_dir):
+    """Product-quantization encode: each vector compresses to M=4 sub-codes
+    (one per 16-dim slice, nearest codebook entry by integer squared-L2),
+    i.e. 512 B of float32 becomes 4 small ints — the memory path that lets a
+    10⁹-vector index live in RAM. One map-only numpy pass (codebook in the
+    closure); long format (vec_id, sub, code, sqdist) keeps the schema
+    stable and the oracle a plain argmin join. By construction the KS
+    training vectors encode to themselves with sqdist 0 — pinned in
+    tests."""
+    embfp = _emb_fp(spark, sf_dir)
+    CB = _pq_codebook(embfp)
+    M, KS, sub_d = CB.shape
+    cb_sq = np.square(CB).sum(axis=2)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["x"].tolist(), dtype=np.int64)
+            n = len(X)
+            codes = np.empty(n * M, dtype=np.int64)
+            dists = np.empty(n * M, dtype=np.int64)
+            for s in range(M):
+                Xs = X[:, s * sub_d:(s + 1) * sub_d]
+                d = (np.square(Xs).sum(axis=1)[:, None] - 2 * (Xs @ CB[s].T)
+                     + cb_sq[s][None, :])
+                best = np.argmin(d, axis=1)
+                codes[s::M] = best
+                dists[s::M] = d[np.arange(n), best]
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), M),
+                "sub": np.tile(np.arange(M, dtype=np.int64), n),
+                "code": codes,
+                "sqdist": dists})
+
+    return embfp.mapInPandas(
+        encode, "vec_id bigint, sub bigint, code bigint, sqdist bigint")
+
+
+def embedding_pq_topk(spark, sf_dir, k=3, n_queries=5):
+    """Asymmetric-distance (ADC) top-k over the PQ codes: per query,
+    precompute the (sub × code) partial-distance table — n_queries·M·KS
+    rows, built driver-side from the collected codebook and broadcast —
+    then ONE equi-join against the code table and a partial-agg sum
+    reconstructs every approximate distance without touching a single full
+    vector. That join-a-tiny-ADC-table-against-compressed-codes shape is
+    exactly why PQ scans survive 10⁹ vectors. All-integer distances keep
+    the compare exact."""
+    embfp = _emb_fp(spark, sf_dir)
+    CB = _pq_codebook(embfp)
+    M, KS, sub_d = CB.shape
+    q_rows = (embfp.filter(F.col("vec_id") < n_queries)
+              .orderBy("vec_id").collect())
+    adc = []
+    for r in q_rows:
+        qx = np.array(list(r["x"]), dtype=np.int64)
+        for s in range(M):
+            d = np.square(CB[s] - qx[s * sub_d:(s + 1) * sub_d][None, :]) \
+                .sum(axis=1)
+            adc.extend((int(r["vec_id"]), s, c, int(d[c]))
+                       for c in range(KS))
+    adc_df = spark.createDataFrame(
+        adc, "query_id bigint, sub bigint, code bigint, pdist bigint")
+    codes = embedding_pq_encode(spark, sf_dir).select("vec_id", "sub", "code")
+    cand = (codes.join(F.broadcast(adc_df), ["sub", "code"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("pdist").alias("adist")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(),
+                                               F.col("vec_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank", "adist"))
+
+
+@pandas_udf(LongType())
+def _sqdist_fp(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact integer squared-L2 between fixed-point component arrays —
+    numpy per Arrow batch, same reason as _cosine."""
+    A = np.array(a.tolist(), dtype=np.int64)
+    B = np.array(b.tolist(), dtype=np.int64)
+    return pd.Series(np.square(A - B).sum(axis=1))
+
+
+def _exact_l2_topk(embfp, k, n_queries):
+    """Brute-force integer-L2 top-k: the exactness baseline for the PQ
+    path, same broadcast-queries shape as _exact_topk."""
+    q = (embfp.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"), F.col("x").alias("qx")))
+    scored = (embfp.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .withColumn("dist", _sqdist_fp(F.col("qx"), F.col("x"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(),
+                                               F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank", "dist"))
+
+
+def embedding_pq_recall(spark, sf_dir, k=3, n_queries=5):
+    """Recall@k of the PQ-ADC scan against the exact integer-L2 baseline —
+    the acceptance query run before trusting a compressed index, in the
+    SAME metric PQ approximates (L2 over the fixed-point components; recall
+    vs a cosine baseline would conflate metric mismatch with quantization
+    loss). Integer hit counts; recall = n_hits / n_exact."""
+    embfp = _emb_fp(spark, sf_dir)
+    exact = _exact_l2_topk(embfp, k, n_queries).select("query_id", "vec_id")
+    approx = (embedding_pq_topk(spark, sf_dir, k=k, n_queries=n_queries)
+              .select("query_id", "vec_id"))
+    hits = (exact.join(approx, ["query_id", "vec_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (base.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    "n_exact"))

@@ -1,0 +1,166 @@
+"""Differential tests for the k-means / prototype-prune / PQ operators: the
+Spark plans must match straightforward pure-numpy references bit-exactly on
+the real sf0.001 embeddings table (everything is fixed-point int64, so there
+is no tolerance anywhere — equality is ==)."""
+import math
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from htmlparser_spark import ops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (SparkSession.builder.master("local[4]")
+         .appName("pq-kmeans-tests")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def emb_fp():
+    pdf = pd.read_parquet(os.path.join(SF, "embeddings.parquet"))
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    X = np.floor(np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                 * ops.FP_SCALE).astype(np.int64)
+    return ids, X
+
+
+def _assign_ref(X, cent_ids, C):
+    d = (np.square(X).sum(axis=1)[:, None] - 2 * (X @ C.T)
+         + np.square(C).sum(axis=1)[None, :])
+    best = np.argmin(d, axis=1)  # first minimal index = lowest cent_id
+    return cent_ids[best], d[np.arange(len(best)), best]
+
+
+def _lloyd_ref(ids, X, k, rounds):
+    """Pure-numpy replica of ops._kmeans_fit (floor-mean updates)."""
+    order = np.argsort(ids)
+    init = order[np.isin(ids[order], np.arange(k))]
+    cent_ids, C = ids[init], X[init]
+    cells = dists = None
+    for _ in range(rounds):
+        cells, dists = _assign_ref(X, cent_ids, C)
+        uniq = np.unique(cells)
+        C = np.stack([
+            np.floor(X[cells == c].sum(axis=0).astype(np.float64)
+                     / (cells == c).sum()).astype(np.int64)
+            for c in uniq])
+        cent_ids = uniq
+    return cells, dists, cent_ids, C
+
+
+def test_kmeans_matches_numpy_reference(spark, emb_fp):
+    ids, X = emb_fp
+    cells, dists, cent_ids, C = _lloyd_ref(ids, X, ops.KMEANS_K,
+                                           ops.KMEANS_ROUNDS)
+    want = {}
+    for c in np.unique(cells):
+        m = cells == c
+        want[int(c)] = (int(m.sum()), int(dists[m].sum()),
+                        int(C[cent_ids == c][0].sum()))
+    got = {r["cell"]: (r["n"], r["inertia"], r["cent_sum"])
+           for r in ops.embedding_kmeans(spark, SF).collect()}
+    assert got == want
+    assert sum(n for n, _, _ in got.values()) == len(ids)
+
+
+def test_prototype_prune_matches_numpy_reference(spark, emb_fp):
+    ids, X = emb_fp
+    cells, dists, _, _ = _lloyd_ref(ids, X, ops.KMEANS_K, ops.KMEANS_ROUNDS)
+    want = set()
+    for c in np.unique(cells):
+        m = np.flatnonzero(cells == c)
+        # rank by dist desc, vec_id asc; keep ceil(0.5 * pop)
+        order = m[np.lexsort((ids[m], -dists[m]))]
+        keep = order[:math.ceil(0.5 * len(m))]
+        want.update((int(ids[i]), int(c)) for i in keep)
+    rows = ops.corpus_prototype_prune(spark, SF).collect()
+    got = {(r["vec_id"], r["cell"]) for r in rows}
+    assert got == want
+    # ranks are 1..kept-per-cell with no gaps
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r["rank"])
+    for ranks in by_cell.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def _pq_ref(ids, X):
+    sub_d = X.shape[1] // ops.PQ_M
+    order = np.argsort(ids)
+    train = order[np.isin(ids[order], np.arange(ops.PQ_KS))]
+    CB = np.stack([X[train][:, s * sub_d:(s + 1) * sub_d]
+                   for s in range(ops.PQ_M)])
+    codes = np.empty((len(X), ops.PQ_M), dtype=np.int64)
+    sq = np.empty((len(X), ops.PQ_M), dtype=np.int64)
+    for s in range(ops.PQ_M):
+        Xs = X[:, s * sub_d:(s + 1) * sub_d]
+        d = (np.square(Xs).sum(axis=1)[:, None] - 2 * (Xs @ CB[s].T)
+             + np.square(CB[s]).sum(axis=1)[None, :])
+        codes[:, s] = np.argmin(d, axis=1)
+        sq[:, s] = d[np.arange(len(X)), codes[:, s]]
+    return CB, codes, sq
+
+
+def test_pq_encode_matches_numpy_reference(spark, emb_fp):
+    ids, X = emb_fp
+    _, codes, sq = _pq_ref(ids, X)
+    want = {(int(ids[i]), s): (int(codes[i, s]), int(sq[i, s]))
+            for i in range(len(ids)) for s in range(ops.PQ_M)}
+    got = {(r["vec_id"], r["sub"]): (r["code"], r["sqdist"])
+           for r in ops.embedding_pq_encode(spark, SF).collect()}
+    assert got == want
+
+
+def test_pq_training_vectors_encode_to_themselves(spark):
+    rows = (ops.embedding_pq_encode(spark, SF)
+            .filter(f"vec_id < {ops.PQ_KS}").collect())
+    assert len(rows) == ops.PQ_KS * ops.PQ_M
+    for r in rows:
+        assert r["code"] == r["vec_id"] and r["sqdist"] == 0
+
+
+def test_pq_topk_and_recall_match_adc_reference(spark, emb_fp):
+    ids, X = emb_fp
+    CB, codes, _ = _pq_ref(ids, X)
+    sub_d = X.shape[1] // ops.PQ_M
+    k, n_q = 3, 5
+    want_top = {}
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for q in range(n_q):
+        qx = X[pos[q]]
+        # ADC distance of every corpus vector from its codes
+        adist = np.zeros(len(ids), dtype=np.int64)
+        for s in range(ops.PQ_M):
+            lut = np.square(CB[s] - qx[s * sub_d:(s + 1) * sub_d][None, :]) \
+                .sum(axis=1)
+            adist += lut[codes[:, s]]
+        mask = ids != q
+        order = np.lexsort((ids[mask], adist[mask]))
+        top = [(int(ids[mask][i]), int(adist[mask][i]))
+               for i in order[:k]]
+        want_top[q] = top
+    got = {}
+    for r in ops.embedding_pq_topk(spark, SF).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["adist"]))
+    for q, top in want_top.items():
+        assert sorted(got[q]) == [(i + 1, v, d)
+                                  for i, (v, d) in enumerate(top)]
+    # recall rows: n_exact = k always, hits = |ADC top-k ∩ exact-L2 top-k|
+    for r in ops.embedding_pq_recall(spark, SF).collect():
+        assert r["n_exact"] == k and 0 <= r["n_hits"] <= k
