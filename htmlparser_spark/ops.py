@@ -2583,6 +2583,22 @@ def embedding_pq_encode(spark, sf_dir):
         encode, "vec_id bigint, sub bigint, code bigint, sqdist bigint")
 
 
+def _adc_rows(q_rows, CB):
+    """Per-query (sub, code) partial ADC distances — n_queries·M·KS rows,
+    built driver-side from the collected codebook (both already live on the
+    driver) and destined for a broadcast."""
+    M, KS, sub_d = CB.shape
+    adc = []
+    for r in q_rows:
+        qx = np.array(list(r["x"]), dtype=np.int64)
+        for s in range(M):
+            d = np.square(CB[s] - qx[s * sub_d:(s + 1) * sub_d][None, :]) \
+                .sum(axis=1)
+            adc.extend((int(r["vec_id"]), s, c, int(d[c]))
+                       for c in range(KS))
+    return adc
+
+
 def embedding_pq_topk(spark, sf_dir, k=3, n_queries=5):
     """Asymmetric-distance (ADC) top-k over the PQ codes: per query,
     precompute the (sub × code) partial-distance table — n_queries·M·KS
@@ -2594,19 +2610,11 @@ def embedding_pq_topk(spark, sf_dir, k=3, n_queries=5):
     the compare exact."""
     embfp = _emb_fp(spark, sf_dir)
     CB = _pq_codebook(embfp)
-    M, KS, sub_d = CB.shape
     q_rows = (embfp.filter(F.col("vec_id") < n_queries)
               .orderBy("vec_id").collect())
-    adc = []
-    for r in q_rows:
-        qx = np.array(list(r["x"]), dtype=np.int64)
-        for s in range(M):
-            d = np.square(CB[s] - qx[s * sub_d:(s + 1) * sub_d][None, :]) \
-                .sum(axis=1)
-            adc.extend((int(r["vec_id"]), s, c, int(d[c]))
-                       for c in range(KS))
     adc_df = spark.createDataFrame(
-        adc, "query_id bigint, sub bigint, code bigint, pdist bigint")
+        _adc_rows(q_rows, CB),
+        "query_id bigint, sub bigint, code bigint, pdist bigint")
     codes = embedding_pq_encode(spark, sf_dir).select("vec_id", "sub", "code")
     cand = (codes.join(F.broadcast(adc_df), ["sub", "code"])
             .filter(F.col("vec_id") != F.col("query_id"))
@@ -2650,9 +2658,16 @@ def embedding_pq_recall(spark, sf_dir, k=3, n_queries=5):
     vs a cosine baseline would conflate metric mismatch with quantization
     loss). Integer hit counts; recall = n_hits / n_exact."""
     embfp = _emb_fp(spark, sf_dir)
-    exact = _exact_l2_topk(embfp, k, n_queries).select("query_id", "vec_id")
-    approx = (embedding_pq_topk(spark, sf_dir, k=k, n_queries=n_queries)
-              .select("query_id", "vec_id"))
+    return _recall_counts(
+        _exact_l2_topk(embfp, k, n_queries),
+        embedding_pq_topk(spark, sf_dir, k=k, n_queries=n_queries))
+
+
+def _recall_counts(exact_df, approx_df):
+    """Per-query integer |approx ∩ exact| hit counts vs the baseline size —
+    the all-integer recall shape the driver's hash compare needs."""
+    exact = exact_df.select("query_id", "vec_id")
+    approx = approx_df.select("query_id", "vec_id")
     hits = (exact.join(approx, ["query_id", "vec_id"])
             .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")))
     base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
@@ -2661,3 +2676,102 @@ def embedding_pq_recall(spark, sf_dir, k=3, n_queries=5):
                     F.coalesce("n_hits", F.lit(0)).cast("long")
                     .alias("n_hits"),
                     "n_exact"))
+
+
+def _ivfpq_index(embfp: DataFrame, cent_rows: list, CB: np.ndarray) \
+        -> DataFrame:
+    """IVF-PQ index build in ONE map-only pass: each vector's IVF cell
+    (integer-L2 nearest of the ~√n centroids) AND its M PQ codes come out
+    of the same Arrow batch — full vectors are never stored, shuffled, or
+    revisited after this scan, which is the entire point of the layout at
+    10⁹ vectors. Output is M rows per vector: (vec_id, cell, sub, code)."""
+    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([r[1] for r in cent_rows], dtype=np.int64)
+    c_sq = np.square(C).sum(axis=1)
+    M, KS, sub_d = CB.shape
+    cb_sq = np.square(CB).sum(axis=2)
+
+    def build(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["x"].tolist(), dtype=np.int64)
+            n = len(X)
+            d = (np.square(X).sum(axis=1)[:, None] - 2 * (X @ C.T)
+                 + c_sq[None, :])
+            cell = cent_ids[np.argmin(d, axis=1)]
+            codes = np.empty(n * M, dtype=np.int64)
+            for s in range(M):
+                Xs = X[:, s * sub_d:(s + 1) * sub_d]
+                ds = (np.square(Xs).sum(axis=1)[:, None] - 2 * (Xs @ CB[s].T)
+                      + cb_sq[s][None, :])
+                codes[s::M] = np.argmin(ds, axis=1)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), M),
+                "cell": np.repeat(cell, M),
+                "sub": np.tile(np.arange(M, dtype=np.int64), n),
+                "code": codes})
+
+    return embfp.mapInPandas(
+        build, "vec_id bigint, cell bigint, sub bigint, code bigint")
+
+
+def embedding_ann_ivfpq(spark, sf_dir, k=3, n_queries=5, probes=None):
+    """IVF-PQ composed index — the FAISS-style architecture production ANN
+    actually deploys at 10⁹+ vectors: the corpus inverts into ~√n cells by
+    integer-L2 nearest centroid, vectors inside cells live ONLY as their
+    M=4 PQ codes, and a query (a) probes its N_IVF_PROBES nearest cells and
+    (b) ranks just those cells' codes by ADC. The search plan touches two
+    broadcasts (the n_queries·probes probe list and the n_queries·M·KS ADC
+    table) plus the compressed code table — never a full vector, never a
+    non-probed cell. Everything is exact integer arithmetic, so the DuckDB
+    oracle replays cell assignment, encoding, probing, and ADC ranking
+    bit-identically."""
+    probes = N_IVF_PROBES if probes is None else probes
+    embfp = _emb_fp(spark, sf_dir)
+    n_cent = _ivf_n_centroids(_emb_count(spark, sf_dir))
+    cent_rows = [(r["cent_id"], list(r["cx"])) for r in
+                 embfp.filter(F.col("vec_id") < n_cent)
+                 .select(F.col("vec_id").alias("cent_id"),
+                         F.col("x").alias("cx"))
+                 .orderBy("cent_id").collect()]
+    CB = _pq_codebook(embfp)
+    index = _ivfpq_index(embfp, cent_rows, CB)
+    q_rows = (embfp.filter(F.col("vec_id") < n_queries)
+              .orderBy("vec_id").collect())
+    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([r[1] for r in cent_rows], dtype=np.int64)
+    probe_rows = []
+    for r in q_rows:
+        qx = np.array(list(r["x"]), dtype=np.int64)
+        d = np.square(C - qx[None, :]).sum(axis=1)
+        order = np.lexsort((cent_ids, d))  # dist asc, cent_id asc on ties
+        probe_rows.extend((int(r["vec_id"]), int(cent_ids[i]))
+                          for i in order[:probes])
+    probe_df = spark.createDataFrame(probe_rows,
+                                     "query_id bigint, cell bigint")
+    adc_df = spark.createDataFrame(
+        _adc_rows(q_rows, CB),
+        "query_id bigint, sub bigint, code bigint, pdist bigint")
+    cand = (index.join(F.broadcast(probe_df), "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .join(F.broadcast(adc_df), ["query_id", "sub", "code"])
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("pdist").alias("adist")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(),
+                                               F.col("vec_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank", "adist"))
+
+
+def embedding_ann_ivfpq_recall(spark, sf_dir, k=3, n_queries=5):
+    """Recall@k of the composed IVF-PQ index vs the exact integer-L2
+    baseline — the figure that separates cell-miss loss (a true neighbor in
+    a non-probed cell) plus quantization loss from the exact scan; compare
+    with embedding_pq_recall (quantization loss only) to attribute the
+    gap."""
+    embfp = _emb_fp(spark, sf_dir)
+    return _recall_counts(
+        _exact_l2_topk(embfp, k, n_queries),
+        embedding_ann_ivfpq(spark, sf_dir, k=k, n_queries=n_queries))

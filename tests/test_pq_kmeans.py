@@ -164,3 +164,41 @@ def test_pq_topk_and_recall_match_adc_reference(spark, emb_fp):
     # recall rows: n_exact = k always, hits = |ADC top-k ∩ exact-L2 top-k|
     for r in ops.embedding_pq_recall(spark, SF).collect():
         assert r["n_exact"] == k and 0 <= r["n_hits"] <= k
+
+
+def test_ivfpq_matches_composed_reference(spark, emb_fp):
+    """The composed IVF-PQ top-k equals the numpy replica: L2 cell
+    assignment, 2-cell probe, ADC rank restricted to probed cells."""
+    ids, X = emb_fp
+    CB, codes, _ = _pq_ref(ids, X)
+    sub_d = X.shape[1] // ops.PQ_M
+    k, n_q, probes = 3, 5, ops.N_IVF_PROBES
+    n_cent = ops._ivf_n_centroids(len(ids))
+    order = np.argsort(ids)
+    ctrain = order[np.isin(ids[order], np.arange(n_cent))]
+    cent_ids, C = ids[ctrain], X[ctrain]
+    cells, _ = _assign_ref(X, cent_ids, C)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    want = {}
+    for q in range(n_q):
+        qx = X[pos[q]]
+        d = np.square(C - qx[None, :]).sum(axis=1)
+        probe = cent_ids[np.lexsort((cent_ids, d))[:probes]]
+        adist = np.zeros(len(ids), dtype=np.int64)
+        for s in range(ops.PQ_M):
+            lut = np.square(CB[s] - qx[s * sub_d:(s + 1) * sub_d][None, :]) \
+                .sum(axis=1)
+            adist += lut[codes[:, s]]
+        mask = np.isin(cells, probe) & (ids != q)
+        o = np.lexsort((ids[mask], adist[mask]))
+        want[q] = [(i + 1, int(ids[mask][j]), int(adist[mask][j]))
+                   for i, j in enumerate(o[:k])]
+    got = {}
+    for r in ops.embedding_ann_ivfpq(spark, SF).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["adist"]))
+    assert {q: sorted(v) for q, v in got.items()} == want
+    # (no ≤-pure-PQ-recall assertion: restricting to probed cells can
+    # even RAISE recall by excluding ADC false positives from other cells)
+    for r in ops.embedding_ann_ivfpq_recall(spark, SF).collect():
+        assert r["n_exact"] == k and 0 <= r["n_hits"] <= k
