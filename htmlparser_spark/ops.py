@@ -1514,6 +1514,37 @@ def dedup_cluster_cc(spark, sf_dir, threshold=0.5):
                         .cast("int")))
 
 
+def dedup_cluster_keep_best(spark, sf_dir, threshold=0.5):
+    """Cluster-and-keep-BEST dedup: the same connected components over the
+    MinHash-LSH pair graph as dedup_cluster_cc, but the survivor per
+    cluster is the highest-QUALITY document (rounded score, ties → lowest
+    doc_id) — the decision rule modern web-corpus pipelines actually apply
+    (Dolma / FineWeb keep the best copy; the minimum id is merely whichever
+    duplicate happened to be crawled first). cluster_id stays the component
+    minimum so the clustering itself is comparable across both operators.
+
+    Scale shape: identical to dedup_cluster_cc (CC shuffles ∝ |pairs|,
+    label join strategy left to AQE) plus one row_number window per
+    cluster — WindowGroupLimit-eligible, and the quality score is computed
+    map-side on the corpus scan (no extra join to attach it)."""
+    *_, score = _quality_exprs()
+    pairs = _materialized(
+        dedup_minhash_lsh(spark, sf_dir, threshold).select("doc_a", "doc_b"),
+        "ccq_pairs")
+    labels = _cc_labels(pairs)
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", score.alias("quality_score")))
+    lab = (docs.join(labels, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+                   "quality_score"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc())
+    return (lab.withColumn("rn", F.row_number().over(w))
+            .select("doc_id", "cluster_id", "quality_score",
+                    (F.col("rn") == 1).cast("int").alias("keep")))
+
+
 # --- per-host document cap ------------------------------------------------------------
 
 HOST_CAP = 10

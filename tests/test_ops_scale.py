@@ -312,3 +312,22 @@ def test_cell_pairs_balanced_property(spark, seed, n, n_cells, max_cell):
            .select("vec_a", "vec_b").collect()]
     assert sorted(bal) == plain
     assert len(bal) == len(set(bal))
+
+
+def test_cluster_keep_best_picks_quality_maximum(spark):
+    """dedup_cluster_keep_best must produce the SAME clustering as
+    dedup_cluster_cc and elect exactly one keeper per cluster — the
+    member maximizing (rounded quality_score, -doc_id)."""
+    sf = "/root/testdata/sf0.001"
+    cc = {r.doc_id: r.cluster_id
+          for r in ops.dedup_cluster_cc(spark, sf).collect()}
+    rows = ops.dedup_cluster_keep_best(spark, sf).collect()
+    assert {r.doc_id: r.cluster_id for r in rows} == cc
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        keepers = [r for r in members if r.keep == 1]
+        assert len(keepers) == 1
+        best = max(members, key=lambda r: (r.quality_score, -r.doc_id))
+        assert keepers[0].doc_id == best.doc_id
