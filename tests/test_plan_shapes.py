@@ -267,3 +267,56 @@ def test_balanced_pair_join_broadcasts_subcell_table(spark):
     assert "BroadcastHashJoin" in p, p           # the n_sub lookup
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_ivfpq_index_build_is_map_only(spark):
+    """The IVF-PQ index build (cell + codes) must be ONE map-only pass:
+    zero Exchange between the embeddings scan and mapInPandas."""
+    embfp = ops._emb_fp(spark, SF)
+    cent_rows = [(r["cent_id"], list(r["cx"])) for r in
+                 embfp.filter(F.col("vec_id") < 16)
+                 .select(F.col("vec_id").alias("cent_id"),
+                         F.col("x").alias("cx"))
+                 .orderBy("cent_id").collect()]
+    p = plan_of(ops._ivfpq_index(embfp, cent_rows,
+                                 ops._pq_codebook(embfp)))
+    assert "Exchange" not in p, p
+    assert "MapInPandas" in p, p
+
+
+def test_pq_topk_broadcasts_adc_table(spark):
+    """ADC search: the per-query partial-distance table must be broadcast
+    (never shuffled against the codes) and the distance sum must
+    partial-aggregate below its exchange."""
+    p = plan_of(ops.embedding_pq_topk(spark, SF))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "partial_sum" in p.lower() or "partial" in p, p
+
+
+def test_ivfpq_search_broadcasts_probes_and_adc(spark):
+    """Composed IVF-PQ search: BOTH small sides (probe list, ADC table)
+    broadcast; the only exchange is the (query, vec) distance rollup +
+    the top-k window."""
+    p = plan_of(ops.embedding_ann_ivfpq(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_kmeans_update_partial_aggregates_below_exchange(spark):
+    """The centroid update must map-side combine: a partial (cell, pos)
+    hash aggregate BEFORE the exchange, so the shuffle carries
+    partitions*k*dim partial rows, never n*dim exploded rows."""
+    embfp = ops._emb_fp(spark, SF)
+    cent_rows = [(r["cent_id"], list(r["cx"])) for r in
+                 embfp.filter(F.col("vec_id") < ops.KMEANS_K)
+                 .select(F.col("vec_id").alias("cent_id"),
+                         F.col("x").alias("cx"))
+                 .orderBy("cent_id").collect()]
+    p = plan_of(ops._kmeans_update(ops._l2_assign(embfp, cent_rows)))
+    ex = p.index("Exchange hashpartitioning(cell")
+    assert "HashAggregate" in p[ex:], p  # final agg above
+    # a partial aggregate must appear BELOW (after, in toString order) the
+    # first exchange — i.e. between the mapInPandas and the shuffle
+    below = p[ex:]
+    assert "partial" in below.lower(), p

@@ -202,3 +202,40 @@ def test_ivfpq_matches_composed_reference(spark, emb_fp):
     # even RAISE recall by excluding ADC false positives from other cells)
     for r in ops.embedding_ann_ivfpq_recall(spark, SF).collect():
         assert r["n_exact"] == k and 0 <= r["n_hits"] <= k
+
+
+def test_distance_ties_resolve_to_lowest_id_on_both_engines(spark, tmp_path):
+    """Adversarial tie corpus: vectors 0 and 1 are IDENTICAL, so every
+    distance involving centroid/codebook entry 1 ties entry 0 exactly.
+    argmin (first minimal index) and the oracles' ORDER BY dist, id must
+    both resolve to id 0 — cross-checked by running the real oracle SQL
+    over the synthetic table in DuckDB."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    rng = np.random.default_rng(7)
+    X = (rng.random((40, 64)) - 0.5).astype(np.float32)
+    X[1] = X[0]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>").write.mode("overwrite") \
+        .parquet(os.path.join(sf, "embeddings.parquet"))
+
+    enc = ops.embedding_pq_encode(spark, sf).collect()
+    assert all(r["code"] != 1 for r in enc)  # entry 1 always loses the tie
+    assert all(r["code"] == 0 and r["sqdist"] == 0
+               for r in enc if r["vec_id"] in (0, 1))
+    km = ops.embedding_kmeans(spark, sf).collect()
+    assert 1 not in {r["cell"] for r in km}  # centroid 1 never wins
+
+    con = duckdb.connect()
+    con.execute(f"""CREATE VIEW embeddings AS
+                    SELECT * FROM '{sf}/embeddings.parquet/*.parquet'""")
+    for name, spark_rows in (("embedding_pq_encode", enc),
+                             ("embedding_kmeans", km)):
+        want = {tuple(r) for r in
+                con.execute(entry.oracle_sql()[name]).fetchall()}
+        got = {tuple(r) for r in spark_rows}
+        assert got == want, name
