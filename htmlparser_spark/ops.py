@@ -2446,13 +2446,25 @@ def _emb_fp(spark, sf_dir):
                         .cast("long")).alias("x")))
 
 
+def _argmin_l2(X: np.ndarray, C: np.ndarray,
+               c_sq: np.ndarray) -> tuple:
+    """Exact int64 argmin-L2 kernel shared by every assignment/encode
+    closure: one ‖x‖² − 2·x·Cᵀ + ‖c‖² matmul, argmin returning the FIRST
+    minimal index — the tie rule every DuckDB oracle mirrors with
+    ORDER BY dist ASC, id ASC. Centralized so a tie-break or overflow
+    change can never drift between the k-means, PQ, and IVF-PQ kernels.
+    Returns (best indices, best distances)."""
+    d = np.square(X).sum(axis=1)[:, None] - 2 * (X @ C.T) + c_sq[None, :]
+    best = np.argmin(d, axis=1)
+    return best, d[np.arange(len(best)), best]
+
+
 def _l2_assign(embfp: DataFrame, cent_rows: list) -> DataFrame:
     """Nearest-centroid assignment under exact integer squared-L2: the
     ≤k-row codebook ships inside the udf closure (same broadcast-codebook
-    pattern as _ivf_assign) and each Arrow batch computes ‖x‖² − 2·x·Cᵀ +
-    ‖c‖² in one int64 matmul. Zero shuffle. np.argmin returns the FIRST
-    minimal index and cent_rows is sorted by cent_id, so distance ties
-    resolve to the lowest cent_id — matching the oracle's
+    pattern as _ivf_assign) and each Arrow batch runs the shared
+    _argmin_l2 kernel. Zero shuffle; ties resolve to the lowest cent_id
+    (cent_rows is sorted), matching the oracle's
     ORDER BY dist ASC, cent_id ASC."""
     cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
     C = np.array([r[1] for r in cent_rows], dtype=np.int64)
@@ -2463,13 +2475,11 @@ def _l2_assign(embfp: DataFrame, cent_rows: list) -> DataFrame:
             if len(pdf) == 0:
                 continue
             X = np.array(pdf["x"].tolist(), dtype=np.int64)
-            d = (np.square(X).sum(axis=1)[:, None] - 2 * (X @ C.T)
-                 + c_sq[None, :])
-            best = np.argmin(d, axis=1)
+            best, dist = _argmin_l2(X, C, c_sq)
             yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
                                 "x": pdf["x"],
                                 "cell": cent_ids[best],
-                                "dist": d[np.arange(len(best)), best]})
+                                "dist": dist})
 
     return embfp.mapInPandas(
         assign, "vec_id bigint, x array<bigint>, cell bigint, dist bigint")
@@ -2562,17 +2572,65 @@ def corpus_prototype_prune(spark, sf_dir, keep_frac=0.5,
             .select("vec_id", "cell", "dist", "rank"))
 
 
-def _pq_codebook(embfp: DataFrame) -> np.ndarray:
-    """Per-subspace PQ codebooks, shape (M, KS, dim/M): code c of subspace s
-    is the s-th slice of training vector vec_id = c — deterministic, like
-    the IVF codebook, so the oracle rebuilds it from the table. (A real
-    deployment would train per-subspace k-means with _kmeans_fit; the code
-    path downstream is identical.)"""
-    rows = embfp.filter(F.col("vec_id") < PQ_KS).orderBy("vec_id").collect()
-    dim = len(rows[0]["x"])
+def _pq_codebook_from_rows(rows) -> np.ndarray:
+    """Per-subspace PQ codebooks, shape (M, KS, dim/M), from an
+    already-collected fp row set containing vec_id < PQ_KS: code c of
+    subspace s is the s-th slice of training vector vec_id = c —
+    deterministic, like the IVF codebook, so the oracle rebuilds it from
+    the table. (A real deployment would train per-subspace k-means with
+    _kmeans_fit; the code path downstream is identical.)"""
+    train = sorted((r for r in rows if r["vec_id"] < PQ_KS),
+                   key=lambda r: r["vec_id"])
+    dim = len(train[0]["x"])
     sub_d = dim // PQ_M
-    return np.array([[list(r["x"][s * sub_d:(s + 1) * sub_d]) for r in rows]
+    return np.array([[list(r["x"][s * sub_d:(s + 1) * sub_d]) for r in train]
                      for s in range(PQ_M)], dtype=np.int64)
+
+
+def _pq_codebook(embfp: DataFrame) -> np.ndarray:
+    return _pq_codebook_from_rows(
+        embfp.filter(F.col("vec_id") < PQ_KS).orderBy("vec_id").collect())
+
+
+def _pq_sub_codes(X: np.ndarray, CB: np.ndarray,
+                  cb_sq: np.ndarray) -> tuple:
+    """PQ codes + per-sub squared distances for a batch, interleaved
+    sub-major within each vector (pairs with np.repeat(vec_ids, M) /
+    np.tile(arange(M), n)). One shared _argmin_l2 call per subspace —
+    the same tie-sensitive kernel the k-means assignment uses."""
+    M, KS, sub_d = CB.shape
+    n = len(X)
+    codes = np.empty(n * M, dtype=np.int64)
+    dists = np.empty(n * M, dtype=np.int64)
+    for s in range(M):
+        best, dist = _argmin_l2(X[:, s * sub_d:(s + 1) * sub_d],
+                                CB[s], cb_sq[s])
+        codes[s::M] = best
+        dists[s::M] = dist
+    return codes, dists
+
+
+def _pq_encode_df(embfp: DataFrame, CB: np.ndarray) -> DataFrame:
+    """The map-only encode pass given a prebuilt codebook — shared by
+    embedding_pq_encode and the ADC searchers so composing them never
+    re-collects the training rows."""
+    M = CB.shape[0]
+    cb_sq = np.square(CB).sum(axis=2)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["x"].tolist(), dtype=np.int64)
+            codes, dists = _pq_sub_codes(X, CB, cb_sq)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), M),
+                "sub": np.tile(np.arange(M, dtype=np.int64), len(X)),
+                "code": codes,
+                "sqdist": dists})
+
+    return embfp.mapInPandas(
+        encode, "vec_id bigint, sub bigint, code bigint, sqdist bigint")
 
 
 def embedding_pq_encode(spark, sf_dir):
@@ -2585,33 +2643,7 @@ def embedding_pq_encode(spark, sf_dir):
     training vectors encode to themselves with sqdist 0 — pinned in
     tests."""
     embfp = _emb_fp(spark, sf_dir)
-    CB = _pq_codebook(embfp)
-    M, KS, sub_d = CB.shape
-    cb_sq = np.square(CB).sum(axis=2)
-
-    def encode(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.array(pdf["x"].tolist(), dtype=np.int64)
-            n = len(X)
-            codes = np.empty(n * M, dtype=np.int64)
-            dists = np.empty(n * M, dtype=np.int64)
-            for s in range(M):
-                Xs = X[:, s * sub_d:(s + 1) * sub_d]
-                d = (np.square(Xs).sum(axis=1)[:, None] - 2 * (Xs @ CB[s].T)
-                     + cb_sq[s][None, :])
-                best = np.argmin(d, axis=1)
-                codes[s::M] = best
-                dists[s::M] = d[np.arange(n), best]
-            yield pd.DataFrame({
-                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), M),
-                "sub": np.tile(np.arange(M, dtype=np.int64), n),
-                "code": codes,
-                "sqdist": dists})
-
-    return embfp.mapInPandas(
-        encode, "vec_id bigint, sub bigint, code bigint, sqdist bigint")
+    return _pq_encode_df(embfp, _pq_codebook(embfp))
 
 
 def _adc_rows(q_rows, CB):
@@ -2640,13 +2672,15 @@ def embedding_pq_topk(spark, sf_dir, k=3, n_queries=5):
     exactly why PQ scans survive 10⁹ vectors. All-integer distances keep
     the compare exact."""
     embfp = _emb_fp(spark, sf_dir)
-    CB = _pq_codebook(embfp)
-    q_rows = (embfp.filter(F.col("vec_id") < n_queries)
-              .orderBy("vec_id").collect())
+    # ONE driver collect serves both the codebook and the query vectors
+    rows = (embfp.filter(F.col("vec_id") < max(PQ_KS, n_queries))
+            .orderBy("vec_id").collect())
+    CB = _pq_codebook_from_rows(rows)
+    q_rows = [r for r in rows if r["vec_id"] < n_queries]
     adc_df = spark.createDataFrame(
         _adc_rows(q_rows, CB),
         "query_id bigint, sub bigint, code bigint, pdist bigint")
-    codes = embedding_pq_encode(spark, sf_dir).select("vec_id", "sub", "code")
+    codes = _pq_encode_df(embfp, CB).select("vec_id", "sub", "code")
     cand = (codes.join(F.broadcast(adc_df), ["sub", "code"])
             .filter(F.col("vec_id") != F.col("query_id"))
             .groupBy("query_id", "vec_id")
@@ -2719,7 +2753,7 @@ def _ivfpq_index(embfp: DataFrame, cent_rows: list, CB: np.ndarray) \
     cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
     C = np.array([r[1] for r in cent_rows], dtype=np.int64)
     c_sq = np.square(C).sum(axis=1)
-    M, KS, sub_d = CB.shape
+    M = CB.shape[0]
     cb_sq = np.square(CB).sum(axis=2)
 
     def build(batches):
@@ -2727,20 +2761,12 @@ def _ivfpq_index(embfp: DataFrame, cent_rows: list, CB: np.ndarray) \
             if len(pdf) == 0:
                 continue
             X = np.array(pdf["x"].tolist(), dtype=np.int64)
-            n = len(X)
-            d = (np.square(X).sum(axis=1)[:, None] - 2 * (X @ C.T)
-                 + c_sq[None, :])
-            cell = cent_ids[np.argmin(d, axis=1)]
-            codes = np.empty(n * M, dtype=np.int64)
-            for s in range(M):
-                Xs = X[:, s * sub_d:(s + 1) * sub_d]
-                ds = (np.square(Xs).sum(axis=1)[:, None] - 2 * (Xs @ CB[s].T)
-                      + cb_sq[s][None, :])
-                codes[s::M] = np.argmin(ds, axis=1)
+            best, _ = _argmin_l2(X, C, c_sq)
+            codes, _ = _pq_sub_codes(X, CB, cb_sq)
             yield pd.DataFrame({
                 "vec_id": np.repeat(pdf["vec_id"].to_numpy(), M),
-                "cell": np.repeat(cell, M),
-                "sub": np.tile(np.arange(M, dtype=np.int64), n),
+                "cell": np.repeat(cent_ids[best], M),
+                "sub": np.tile(np.arange(M, dtype=np.int64), len(X)),
                 "code": codes})
 
     return embfp.mapInPandas(
@@ -2761,15 +2787,15 @@ def embedding_ann_ivfpq(spark, sf_dir, k=3, n_queries=5, probes=None):
     probes = N_IVF_PROBES if probes is None else probes
     embfp = _emb_fp(spark, sf_dir)
     n_cent = _ivf_n_centroids(_emb_count(spark, sf_dir))
-    cent_rows = [(r["cent_id"], list(r["cx"])) for r in
-                 embfp.filter(F.col("vec_id") < n_cent)
-                 .select(F.col("vec_id").alias("cent_id"),
-                         F.col("x").alias("cx"))
-                 .orderBy("cent_id").collect()]
-    CB = _pq_codebook(embfp)
+    # ONE driver collect serves the IVF centroids, the PQ codebook, and
+    # the query vectors (they are all low-vec_id prefixes of the table)
+    rows = (embfp.filter(F.col("vec_id") < max(n_cent, PQ_KS, n_queries))
+            .orderBy("vec_id").collect())
+    cent_rows = [(int(r["vec_id"]), list(r["x"])) for r in rows
+                 if r["vec_id"] < n_cent]
+    CB = _pq_codebook_from_rows(rows)
     index = _ivfpq_index(embfp, cent_rows, CB)
-    q_rows = (embfp.filter(F.col("vec_id") < n_queries)
-              .orderBy("vec_id").collect())
+    q_rows = [r for r in rows if r["vec_id"] < n_queries]
     cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
     C = np.array([r[1] for r in cent_rows], dtype=np.int64)
     probe_rows = []

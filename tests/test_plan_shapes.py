@@ -286,12 +286,17 @@ def test_ivfpq_index_build_is_map_only(spark):
 
 def test_pq_topk_broadcasts_adc_table(spark):
     """ADC search: the per-query partial-distance table must be broadcast
-    (never shuffled against the codes) and the distance sum must
-    partial-aggregate below its exchange."""
+    (never shuffled against the codes) and sum(pdist) must map-side
+    combine BELOW the (query_id, vec_id) exchange — matched specifically,
+    so an unrelated partial aggregate elsewhere cannot satisfy it."""
+    import re
+
     p = plan_of(ops.embedding_pq_topk(spark, SF))
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
-    assert "partial_sum" in p.lower() or "partial" in p, p
+    m = re.search(r"Exchange hashpartitioning\(query_id#\d+L?, vec_id", p)
+    assert m, p
+    assert "partial_sum(pdist" in p[m.end():], p
 
 
 def test_ivfpq_search_broadcasts_probes_and_adc(spark):
@@ -313,10 +318,13 @@ def test_kmeans_update_partial_aggregates_below_exchange(spark):
                  .select(F.col("vec_id").alias("cent_id"),
                          F.col("x").alias("cx"))
                  .orderBy("cent_id").collect()]
+    import re
+
     p = plan_of(ops._kmeans_update(ops._l2_assign(embfp, cent_rows)))
-    ex = p.index("Exchange hashpartitioning(cell")
-    assert "HashAggregate" in p[ex:], p  # final agg above
-    # a partial aggregate must appear BELOW (after, in toString order) the
-    # first exchange — i.e. between the mapInPandas and the shuffle
-    below = p[ex:]
-    assert "partial" in below.lower(), p
+    # match the INNER (cell, pos) exchange specifically — the outer
+    # collect_list exchange shares the "hashpartitioning(cell" prefix and
+    # prints first, and its partial_collect_list must not satisfy this pin
+    m = re.search(r"Exchange hashpartitioning\(cell#\d+L?, pos#", p)
+    assert m, p
+    below = p[m.end():]
+    assert "partial_sum" in below and "partial_count" in below, p
