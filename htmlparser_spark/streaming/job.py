@@ -307,3 +307,76 @@ def run_links_stream_once(spark: SparkSession, src_dir: str,
     except AnalysisException:
         return {"links_total": 0}
     return {"links_total": n}
+
+
+def bloom_history_bits(history: DataFrame) -> DataFrame:
+    """Fold a historical parsed corpus's content hashes into the ≤ BLOOM_M
+    set bit positions of a Bloom filter — the same fold as the batch
+    dedup_bloom (ops.py), reused verbatim so the stream and batch paths
+    can never disagree on a bit position. Map-side explode + partial
+    distinct below ONE exchange; output is ≤ m rows regardless of history
+    size — the one dedup structure that still broadcasts when history is
+    10¹² documents."""
+    from ..ops import BLOOM_K, BLOOM_M, _portable_hash32
+
+    pos = [(_portable_hash32(F.col("content_hash"), F.lit(f"bloom{j}"))
+            % BLOOM_M).alias("pos")
+           for j in range(BLOOM_K)]
+    return history.select(F.explode(F.array(*pos)).alias("pos")).distinct()
+
+
+def bloom_dedup_stream(parsed: DataFrame, hist_bits: DataFrame) -> DataFrame:
+    """Tag a parsed page stream with maybe_dup against the history Bloom
+    filter: one stream-static BROADCAST left join per hash function (k=3),
+    no aggregation — stateless per row, so it is legal in append mode and
+    costs nothing beyond the map stage of each micro-batch. maybe_dup = 1
+    iff all k probed bits are set (Bloom positive: every true duplicate of
+    a history document is flagged — no false negatives — plus the filter's
+    m/k-governed false-positive minority). Works identically on a BATCH
+    DataFrame (pinned by a stream-vs-batch differential test).
+
+    Scale shape: the probe never shuffles the stream — k broadcast joins +
+    codegen hashes; per-micro-batch cost is O(|batch|), independent of
+    history size. A deployment ingesting continuously would persist the
+    bit set and fold only each drained batch back in."""
+    from ..ops import BLOOM_K, BLOOM_M, _portable_hash32
+
+    out = parsed
+    hits = []
+    for j in range(BLOOM_K):
+        pos_j = (_portable_hash32(F.col("content_hash"), F.lit(f"bloom{j}"))
+                 % BLOOM_M)
+        bits_j = (hist_bits.select(F.col("pos").alias(f"_pos{j}"))
+                  .withColumn(f"_set{j}", F.lit(1)))
+        out = (out.withColumn(f"_pos{j}", pos_j)
+               .join(F.broadcast(bits_j), f"_pos{j}", "left"))
+        hits.append(F.coalesce(F.col(f"_set{j}"), F.lit(0)))
+    n_set = hits[0]
+    for h in hits[1:]:
+        n_set = n_set + h
+    out = out.withColumn("maybe_dup", (n_set == F.lit(BLOOM_K)).cast("int"))
+    return out.drop(*[f"_pos{j}" for j in range(BLOOM_K)],
+                    *[f"_set{j}" for j in range(BLOOM_K)])
+
+
+def run_bloom_stream_once(spark: SparkSession, src_dir: str, out_dir: str,
+                          history_dir: str) -> dict:
+    """Continuous-ingest dedup drain: parse pending page drops and tag
+    every parsed row against the HISTORY corpus's Bloom filter (history_dir
+    = any parsed parquet sink — a batch run or a previous drain), writing
+    parsed + maybe_dup exactly once. The filter is rebuilt from history per
+    drain here (one map-side fold); a production loop would persist the bit
+    set and update it incrementally with each drained batch."""
+    pages = read_page_stream(spark, src_dir)
+    parsed = parse_page_stream(pages)
+    hist = spark.read.schema(PARSED_SCHEMA).parquet(history_dir)
+    tagged = bloom_dedup_stream(parsed, bloom_history_bits(hist))
+    q = write_parsed_stream(tagged, out_dir)
+    q.awaitTermination()
+    try:
+        out = spark.read.parquet(os.path.join(out_dir, "parsed"))
+        row = out.agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("maybe_dup").alias("d")).collect()[0]
+    except AnalysisException:
+        return {"rows_total": 0, "maybe_dup_total": 0}
+    return {"rows_total": row["n"], "maybe_dup_total": int(row["d"] or 0)}

@@ -378,3 +378,50 @@ def test_rate_source_pages_parse_like_batch(spark, tmp_path):
         want = parse_html(html, fast=True, extract=True, want_dom=False)
         assert r["status"] == want["status"]
         assert r["main_text"] == want["main_text"]
+
+
+def test_bloom_stream_flags_history_duplicates(spark, tmp_path):
+    """Continuous-ingest dedup: a drain whose drop repeats history content
+    must flag every true duplicate (Bloom guarantees no false negatives),
+    and the streaming tags must equal the same expression applied in
+    BATCH to the same rows — stream-static joins change nothing."""
+    from htmlparser_spark.streaming.job import (
+        bloom_dedup_stream, bloom_history_bits, run_bloom_stream_once)
+
+    src_h, out_h = str(tmp_path / "src_h"), str(tmp_path / "out_h")
+    src_n, out_n = str(tmp_path / "src_n"), str(tmp_path / "out_n")
+    _write_batch(spark, src_h, 120, 1, "hist")
+    run_stream_once(spark, src_h, out_h)
+    hist_dir = os.path.join(out_h, "parsed")
+
+    _write_batch(spark, src_n, 120, 1, "dups")   # identical content to hist
+    n_fresh = _write_batch(spark, src_n, 80, 3, "fresh")
+    r = run_bloom_stream_once(spark, src_n, out_n, hist_dir)
+    tagged = spark.read.parquet(os.path.join(out_n, "parsed"))
+    assert r["rows_total"] == tagged.count()
+
+    hist_hashes = {row.content_hash for row in
+                   spark.read.parquet(hist_dir)
+                   .select("content_hash").collect()}
+    rows = tagged.select("url", "warc_ts", "content_hash",
+                         "maybe_dup").collect()
+    n_true_dup = 0
+    for row in rows:
+        if row.content_hash in hist_hashes:
+            assert row.maybe_dup == 1  # no false negatives, ever
+            n_true_dup += 1
+    assert n_true_dup >= 120  # the whole dup drop is history content
+    # the filter must not degenerate to flag-everything: the fresh drop
+    # has at most a small false-positive minority
+    n_flagged = sum(row.maybe_dup for row in rows)
+    assert n_flagged - n_true_dup <= n_fresh * 0.2
+
+    # stream-vs-batch differential: same expression, same rows, same tags
+    hist = spark.read.parquet(hist_dir)
+    batch = bloom_dedup_stream(
+        spark.read.parquet(os.path.join(out_n, "parsed")).drop("maybe_dup"),
+        bloom_history_bits(hist))
+    want = {(row.url, row.warc_ts): row.maybe_dup
+            for row in batch.select("url", "warc_ts", "maybe_dup").collect()}
+    got = {(row.url, row.warc_ts): row.maybe_dup for row in rows}
+    assert got == want
