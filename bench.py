@@ -156,6 +156,26 @@ def _transcode_measure(spark, n_pages: int) -> dict:
             "overhead_pct": round(100.0 * (fused - plain) / plain, 1)}
 
 
+def _ann_measure(spark) -> dict:
+    """Round-4 embedding-family side metric (NOT in the headline total, so
+    cross-round totals stay comparable): end-to-end composed IVF-PQ (index
+    build + ADC search) and the two-round distributed k-means fit at
+    SF_DIR, min-of-REPS each."""
+    import __spark_entry__ as entry
+    qs = entry.queries()
+    out = {}
+    for name in ("embedding_ann_ivfpq", "embedding_kmeans"):
+        best = None
+        for _ in range(REPS):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            qs[name](spark, SF_DIR).count()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out[name.replace("embedding_", "") + "_sec"] = round(best, 3)
+    return out
+
+
 def _timed_queries(spark, sf_dir: str) -> dict:
     """Headline relational/dedup/similarity/text queries from the driver
     contract, each timed around a full action."""
@@ -191,6 +211,7 @@ def run_default() -> dict:
         links = min((_links_measure(spark, KERNEL_PAGES // 2)
                      for _ in range(REPS)), key=lambda r: r["sec"])
         transcode = _transcode_measure(spark, max(KERNEL_PAGES // 4, 500))
+        ann = _ann_measure(spark)
         rel = _timed_queries(spark, SF_DIR)
     finally:
         spark.stop()
@@ -213,6 +234,8 @@ def run_default() -> dict:
         # fused-transcode marginal cost on a 50%-non-UTF-8 corpus (upper
         # bound: real crawls are ~5% non-UTF-8)
         "transcode_stage": transcode,
+        # round-4 embedding family (IVF-PQ build+search, k-means fit)
+        "ann_stage": ann,
         "cpus": CPUS,
     }
 
