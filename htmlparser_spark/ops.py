@@ -2832,3 +2832,89 @@ def embedding_ann_ivfpq_recall(spark, sf_dir, k=3, n_queries=5):
     return _recall_counts(
         _exact_l2_topk(embfp, k, n_queries),
         embedding_ann_ivfpq(spark, sf_dir, k=k, n_queries=n_queries))
+
+
+# ---------------------------------------------------------------------------
+# range join / distinct-count sketch
+# ---------------------------------------------------------------------------
+
+RANGE_WINDOW_MIN = 60  # attribution window: clicks in the hour before a purchase
+
+
+def events_range_join(spark, sf_dir, window_minutes=RANGE_WINDOW_MIN):
+    """Interval/range join — the attribution query (clicks within the hour
+    BEFORE each purchase, same user), an operator Spark has no native
+    physical strategy for: an equi+range predicate hash-joins on user_id
+    and post-filters, which is O(per-user clicks × per-user purchases) on a
+    hot user. This plan buckets time by the window width W instead: a click
+    lives in ONE bucket (floor(ts/W)), a purchase's look-back interval
+    covers EXACTLY two (its own and the previous), so exploding purchases
+    ×2 and equi-joining on (user_id, bucket) bounds candidates to the two
+    adjacent buckets before the exact range filter — the standard bucketed
+    interval-join decomposition, shuffle keyed on (user, bucket), never a
+    per-user cross product. A click bucket is covered at most once per
+    purchase, so no pair dedup is needed.
+
+    All-integer outputs (µs gaps) keep the oracle compare exact; purchases
+    with no attributable click survive with n_clicks = 0. Timestamps are
+    TIMESTAMP_NTZ, so µs offsets come from a timezone-free timestampdiff
+    against a fixed base — only DIFFERENCES reach the output, so the base
+    cancels and no session-timezone semantics can leak in."""
+    w_us = window_minutes * 60 * 1_000_000
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+    ev = _t(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"), "user_id",
+                 F.expr(us).alias("p_us")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select("user_id", F.expr(us).alias("c_us"))
+         .withColumn("bucket", F.expr(f"c_us div {w_us}")))
+    p2 = p.withColumn("bucket", F.explode(F.array(
+        F.expr(f"p_us div {w_us}") - F.lit(1), F.expr(f"p_us div {w_us}"))))
+    matched = (p2.join(c, ["user_id", "bucket"])
+               .filter((F.col("c_us") >= F.col("p_us") - F.lit(w_us))
+                       & (F.col("c_us") < F.col("p_us")))
+               .groupBy("purchase_id")
+               .agg(F.count(F.lit(1)).alias("n_clicks"),
+                    F.min(F.col("p_us") - F.col("c_us")).alias("min_gap_us")))
+    return (p.select("purchase_id", "user_id")
+            .join(matched, "purchase_id", "left")
+            .select("purchase_id", "user_id",
+                    F.coalesce("n_clicks", F.lit(0)).cast("long")
+                    .alias("n_clicks"),
+                    "min_gap_us"))
+
+
+KMV_K = 16  # sketch size; per-source distinct counts at test SFs are >= 25
+
+
+def corpus_distinct_kmv(spark, sf_dir, k=KMV_K):
+    """Per-source distinct-document estimate via a K-minimum-values sketch —
+    the portable alternative to HLL (approx_count_distinct) whose estimate
+    the DuckDB oracle reproduces BIT-EXACTLY: hash every doc with the
+    portable 32-bit md5 hash, keep the k smallest distinct values per
+    source, estimate distinct ≈ (k−1)·2³² / h_k. Exact count, the kth
+    minimum, and the floored estimate ship together so the query doubles
+    as the sketch's own acceptance test (the error is visible per row).
+
+    Scale shape: the distinct pass partial-aggregates below one exchange;
+    the k-th minimum is a rank-k window (WindowGroupLimit installs a
+    map-side per-source top-k before the exchange, so each upstream task
+    ships k rows per source — the distributed-sketch merge shape). Groups
+    with fewer than k distinct values fall back to their exact count,
+    exactly as a KMV implementation does."""
+    h = (_t(spark, sf_dir, "documents")
+         .select("source",
+                 _portable_hash32(F.col("text"), F.lit("kmv")).alias("h"))
+         .distinct())
+    stats = h.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.partitionBy("source").orderBy(F.col("h").asc())
+    kth = (h.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == k)
+           .select("source", F.col("h").alias("kth_min")))
+    est = (F.when(F.col("kth_min").isNull(), F.col("n_exact"))
+           .otherwise(F.floor(F.lit(float(k - 1)) * F.lit(2.0 ** 32)
+                              / F.col("kth_min"))))
+    return (stats.join(kth, "source", "left")
+            .select("source", "n_exact", "kth_min",
+                    est.cast("long").alias("est_distinct")))

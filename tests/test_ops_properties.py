@@ -456,3 +456,80 @@ def test_robots_longest_match_and_tie_semantics(spark, tmp_path):
     assert got[0]["allowed"] == 0 and got[0]["path"] == "/tag/0"
     assert got[1]["allowed"] == 1 and got[1]["n_rules_matched"] == 0
     assert got[5]["allowed"] == 1 and got[5]["n_rules_matched"] == 0
+
+
+def test_range_join_matches_python_reference(spark, tmp_path):
+    """The bucketed interval join must equal a brute-force reference on
+    random events, including clicks placed EXACTLY on both window
+    boundaries (lower inclusive, upper exclusive) and purchases whose
+    look-back spans a bucket edge."""
+    rng = random.Random(29)
+    W = ops.RANGE_WINDOW_MIN * 60 * 1_000_000
+    rows, eid = [], 0
+    for user in range(5):
+        for _ in range(rng.randint(5, 25)):
+            t = rng.randrange(0, 6 * W)
+            typ = rng.choice(["purchase", "click", "view"])
+            rows.append((eid, EPOCH + datetime.timedelta(microseconds=t),
+                         user, typ, 1.0, ""))
+            eid += 1
+    # boundary pins on a dedicated user: click at exactly p−W (IN) and at
+    # exactly p (OUT — strict upper bound)
+    p_t = 3 * W + 12345
+    boundary_purchase = eid
+    for t, typ in ((p_t, "purchase"), (p_t - W, "click"), (p_t, "click")):
+        rows.append((eid, EPOCH + datetime.timedelta(microseconds=t),
+                     7, typ, 1.0, ""))
+        eid += 1
+    sf = _sf_dir(spark, tmp_path, events=(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string"))
+
+    got = {r.purchase_id: (r.n_clicks, r.min_gap_us)
+           for r in ops.events_range_join(spark, sf).collect()}
+
+    clicks = {}
+    for e, t, u, typ, *_ in rows:
+        if typ == "click":
+            clicks.setdefault(u, []).append(_us(t - EPOCH))
+    want = {}
+    for e, t, u, typ, *_ in rows:
+        if typ != "purchase":
+            continue
+        pt = _us(t - EPOCH)
+        gaps = [pt - ct for ct in clicks.get(u, []) if pt - W <= ct < pt]
+        want[e] = (len(gaps), min(gaps) if gaps else None)
+    assert got == want
+    assert got[boundary_purchase] == (1, W)  # only the p−W click counts
+
+
+def test_kmv_sketch_matches_python_reference(spark):
+    """The KMV distinct sketch must be bit-identical to a pure-python
+    replica (portable hash, k-th smallest distinct, floored estimate)."""
+    import hashlib
+
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(os.path.join(sf, "documents.parquet"),
+                          columns=["source", "text"])
+    by_src = {}
+    for src, text in zip(pdf["source"], pdf["text"]):
+        h = int(hashlib.md5(f"kmv:{text}".encode()).hexdigest()[:8], 16)
+        by_src.setdefault(src, set()).add(h)
+    k = ops.KMV_K
+    want = {}
+    for src, hs in by_src.items():
+        ordered = sorted(hs)
+        if len(ordered) >= k:
+            kth = ordered[k - 1]
+            est = int((k - 1) * 2.0 ** 32 / kth)
+            want[src] = (len(ordered), kth, est)
+        else:
+            want[src] = (len(ordered), None, len(ordered))
+    got = {r.source: (r.n_exact, r.kth_min, r.est_distinct)
+           for r in ops.corpus_distinct_kmv(spark, sf).collect()}
+    assert got == want
+    # the sketch must actually estimate: every group here has >= k distinct
+    for src, (n, kth, est) in got.items():
+        assert kth is not None and est > 0
