@@ -328,3 +328,21 @@ def test_kmeans_update_partial_aggregates_below_exchange(spark):
     assert m, p
     below = p[m.end():]
     assert "partial_sum" in below and "partial_count" in below, p
+
+
+def test_range_join_never_nested_loop(spark):
+    """The bucketed interval join must plan as equi-joins — never the
+    BroadcastNestedLoopJoin/CartesianProduct Spark falls back to for raw
+    range predicates."""
+    p = plan_of(ops.events_range_join(spark, SF))
+    assert "NestedLoop" not in p, p
+    assert "Cartesian" not in p, p
+
+
+def test_kmv_rank_k_uses_window_group_limit(spark):
+    """The k-th-minimum window must install the map-side per-source top-k
+    (WindowGroupLimit) — each upstream task ships k rows per source, the
+    distributed sketch-merge shape — and stay Python-free."""
+    p = plan_of(ops.corpus_distinct_kmv(spark, SF))
+    assert "WindowGroupLimit" in p, p
+    assert "Python" not in p, p
