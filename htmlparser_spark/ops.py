@@ -2013,6 +2013,14 @@ def corpus_url_filter(spark, sf_dir):
 # --- Bloom-filter membership dedup -----------------------------------------------------
 
 BLOOM_M = 8192  # bits
+
+
+def _bloom_position(hash_col, j: int):
+    """Bit position of hash function j for a hash column — THE Bloom
+    geometry, shared by the batch dedup_bloom fold/probe and the streaming
+    bloom_history_bits/bloom_dedup_stream so the two paths can never drift
+    (a drifted fold would silently reintroduce false negatives)."""
+    return _portable_hash32(hash_col, F.lit(f"bloom{j}")) % BLOOM_M
 BLOOM_K = 3     # hash functions
 
 
@@ -2037,8 +2045,8 @@ def dedup_bloom(spark, sf_dir):
     docs = (_t(spark, sf_dir, "documents")
             .select("doc_id", F.md5("text").alias("h")))
     is_new = F.col("doc_id") % INC_NEW_MOD == 0
-    pos = [(_portable_hash32(F.col("h"), F.lit(f"bloom{j}")) % BLOOM_M)
-           .alias("pos") for j in range(BLOOM_K)]
+    pos = [_bloom_position(F.col("h"), j).alias("pos")
+           for j in range(BLOOM_K)]
     hist_bits = (docs.filter(~is_new)
                  .select(F.explode(F.array(*pos)).alias("pos"))
                  .distinct())
@@ -2856,18 +2864,16 @@ def events_range_join(spark, sf_dir, window_minutes=RANGE_WINDOW_MIN):
     purchase, so no pair dedup is needed.
 
     All-integer outputs (µs gaps) keep the oracle compare exact; purchases
-    with no attributable click survive with n_clicks = 0. Timestamps are
-    TIMESTAMP_NTZ, so µs offsets come from a timezone-free timestampdiff
-    against a fixed base — only DIFFERENCES reach the output, so the base
-    cancels and no session-timezone semantics can leak in."""
+    with no attributable click survive with n_clicks = 0. µs offsets come
+    from _ntz_micros (timezone-free naive-epoch µs = DuckDB epoch_us), the
+    same helper the other event ops use."""
     w_us = window_minutes * 60 * 1_000_000
-    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
     ev = _t(spark, sf_dir, "events")
     p = (ev.filter(F.col("event_type") == "purchase")
          .select(F.col("event_id").alias("purchase_id"), "user_id",
-                 F.expr(us).alias("p_us")))
+                 _ntz_micros(F.col("ts")).alias("p_us")))
     c = (ev.filter(F.col("event_type") == "click")
-         .select("user_id", F.expr(us).alias("c_us"))
+         .select("user_id", _ntz_micros(F.col("ts")).alias("c_us"))
          .withColumn("bucket", F.expr(f"c_us div {w_us}")))
     p2 = p.withColumn("bucket", F.explode(F.array(
         F.expr(f"p_us div {w_us}") - F.lit(1), F.expr(f"p_us div {w_us}"))))

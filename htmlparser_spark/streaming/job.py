@@ -311,16 +311,15 @@ def run_links_stream_once(spark: SparkSession, src_dir: str,
 
 def bloom_history_bits(history: DataFrame) -> DataFrame:
     """Fold a historical parsed corpus's content hashes into the ≤ BLOOM_M
-    set bit positions of a Bloom filter — the same fold as the batch
-    dedup_bloom (ops.py), reused verbatim so the stream and batch paths
-    can never disagree on a bit position. Map-side explode + partial
+    set bit positions of a Bloom filter — the bit geometry comes from the
+    SHARED ops._bloom_position helper (also used by the batch dedup_bloom),
+    so the stream and batch paths cannot drift. Map-side explode + partial
     distinct below ONE exchange; output is ≤ m rows regardless of history
     size — the one dedup structure that still broadcasts when history is
     10¹² documents."""
-    from ..ops import BLOOM_K, BLOOM_M, _portable_hash32
+    from ..ops import BLOOM_K, _bloom_position
 
-    pos = [(_portable_hash32(F.col("content_hash"), F.lit(f"bloom{j}"))
-            % BLOOM_M).alias("pos")
+    pos = [_bloom_position(F.col("content_hash"), j).alias("pos")
            for j in range(BLOOM_K)]
     return history.select(F.explode(F.array(*pos)).alias("pos")).distinct()
 
@@ -339,13 +338,12 @@ def bloom_dedup_stream(parsed: DataFrame, hist_bits: DataFrame) -> DataFrame:
     codegen hashes; per-micro-batch cost is O(|batch|), independent of
     history size. A deployment ingesting continuously would persist the
     bit set and fold only each drained batch back in."""
-    from ..ops import BLOOM_K, BLOOM_M, _portable_hash32
+    from ..ops import BLOOM_K, _bloom_position
 
     out = parsed
     hits = []
     for j in range(BLOOM_K):
-        pos_j = (_portable_hash32(F.col("content_hash"), F.lit(f"bloom{j}"))
-                 % BLOOM_M)
+        pos_j = _bloom_position(F.col("content_hash"), j)
         bits_j = (hist_bits.select(F.col("pos").alias(f"_pos{j}"))
                   .withColumn(f"_set{j}", F.lit(1)))
         out = (out.withColumn(f"_pos{j}", pos_j)

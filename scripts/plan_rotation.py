@@ -28,8 +28,13 @@ def main() -> None:
     for path in sorted(glob.glob(
             os.path.join(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))), "CORRECTNESS_r*.json"))):
-        rn = int(re.search(r"_r(\d+)", path).group(1))
-        rounds[rn] = json.load(open(path))
+        # match on the basename only (an '_r<digits>' in an ancestor dir
+        # must not win) and skip non-numeric suffixes the glob admits
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json",
+                         os.path.basename(path))
+        if not m:
+            continue
+        rounds[int(m.group(1))] = json.load(open(path))
 
     last_green = {}  # name -> latest round with a fully green row
     ever_row = set()
