@@ -533,3 +533,19 @@ def test_kmv_sketch_matches_python_reference(spark):
     # the sketch must actually estimate: every group here has >= k distinct
     for src, (n, kth, est) in got.items():
         assert kth is not None and est > 0
+
+
+def test_kmv_under_k_groups_fall_back_to_exact(spark, tmp_path):
+    """A source with fewer than k distinct documents has no k-th minimum:
+    kth_min must be NULL and the estimate must equal the exact count."""
+    rows = [(i, "tiny", f"doc {i}", "en") for i in range(ops.KMV_K - 3)]
+    rows += [(100 + i, "big", f"text {i} " * 3, "en")
+             for i in range(ops.KMV_K + 9)]
+    sf = _sf_dir(spark, tmp_path, documents=(
+        rows, "doc_id long, source string, text string, lang string"))
+    got = {r.source: (r.n_exact, r.kth_min, r.est_distinct)
+           for r in ops.corpus_distinct_kmv(spark, sf).collect()}
+    n_tiny = ops.KMV_K - 3
+    assert got["tiny"] == (n_tiny, None, n_tiny)
+    n_big, kth, est = got["big"]
+    assert n_big == ops.KMV_K + 9 and kth is not None and est > 0
