@@ -364,7 +364,11 @@ def run_bloom_stream_once(spark: SparkSession, src_dir: str, out_dir: str,
     = any parsed parquet sink — a batch run or a previous drain), writing
     parsed + maybe_dup exactly once. The filter is rebuilt from history per
     drain here (one map-side fold); a production loop would persist the bit
-    set and update it incrementally with each drained batch."""
+    set and update it incrementally with each drained batch. This drain
+    always parses untranscoded (same marker contract as run_stream_once:
+    resuming an out_dir a transcoded drain created fails fast instead of
+    mixing half-decoded rows)."""
+    _check_stream_flags(out_dir, transcode=False)
     pages = read_page_stream(spark, src_dir)
     parsed = parse_page_stream(pages)
     hist = spark.read.schema(PARSED_SCHEMA).parquet(history_dir)

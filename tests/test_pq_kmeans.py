@@ -239,3 +239,23 @@ def test_distance_ties_resolve_to_lowest_id_on_both_engines(spark, tmp_path):
                 con.execute(entry.oracle_sql()[name]).fetchall()}
         got = {tuple(r) for r in spark_rows}
         assert got == want, name
+
+
+def test_embedding_curation_composes_deterministically(spark):
+    """Capstone composition for the embedding-curation side (the analogue
+    of corpus_curation_pipeline for text): SSL-prototype pruning over
+    k-means cells ∩ keep-best CC dedup survivors yields a deterministic,
+    strictly-smaller keeper set — the ops compose at the DataFrame level
+    with ids intact."""
+    def survivors():
+        pruned = {r["vec_id"]
+                  for r in ops.corpus_prototype_prune(spark, SF).collect()}
+        kept = {r["doc_id"] for r in
+                ops.dedup_cluster_keep_best(spark, SF).collect()
+                if r["keep"] == 1}
+        return pruned, kept, pruned & kept
+
+    pruned, kept, both = survivors()
+    assert both and len(both) < len(pruned) and len(both) <= len(kept)
+    # deterministic end to end: a second full evaluation is identical
+    assert survivors() == (pruned, kept, both)
