@@ -1485,6 +1485,23 @@ def _cc_labels(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
         "large-star/small-star rounds — input pair set is pathological")
 
 
+_CC_PAIRS_CACHE: dict = {}
+
+
+def _minhash_pairs(spark, sf_dir, threshold) -> DataFrame:
+    """Materialized MinHash-LSH pair set shared by the CC dedups: running
+    dedup_cluster_cc and dedup_cluster_keep_best in one session reuses ONE
+    cached pair computation (memoized per app/corpus/threshold, same
+    pattern as _EMB_COUNT_CACHE) instead of re-shingling the corpus and
+    double-caching identical data."""
+    key = (spark.sparkContext.applicationId, sf_dir, threshold)
+    if key not in _CC_PAIRS_CACHE:
+        _CC_PAIRS_CACHE[key] = _materialized(
+            dedup_minhash_lsh(spark, sf_dir, threshold)
+            .select("doc_a", "doc_b"), "cc_pairs")
+    return _CC_PAIRS_CACHE[key]
+
+
 def dedup_cluster_cc(spark, sf_dir, threshold=0.5):
     """Cluster-and-keep-one dedup: the step that turns PAIR detection
     (MinHash-LSH) into an actual dedup decision. Near-duplicate relations
@@ -1502,10 +1519,7 @@ def dedup_cluster_cc(spark, sf_dir, threshold=0.5):
     large fraction of the corpus (30-50%), far past broadcast size — AQE
     broadcasts it when it happens to be small, shuffles on doc_id when not.
     """
-    pairs = _materialized(
-        dedup_minhash_lsh(spark, sf_dir, threshold).select("doc_a", "doc_b"),
-        "cc_pairs")
-    labels = _cc_labels(pairs)
+    labels = _cc_labels(_minhash_pairs(spark, sf_dir, threshold))
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return (docs.join(labels, "doc_id", "left")
             .select("doc_id",
@@ -1528,10 +1542,7 @@ def dedup_cluster_keep_best(spark, sf_dir, threshold=0.5):
     cluster — WindowGroupLimit-eligible, and the quality score is computed
     map-side on the corpus scan (no extra join to attach it)."""
     *_, score = _quality_exprs()
-    pairs = _materialized(
-        dedup_minhash_lsh(spark, sf_dir, threshold).select("doc_a", "doc_b"),
-        "ccq_pairs")
-    labels = _cc_labels(pairs)
+    labels = _cc_labels(_minhash_pairs(spark, sf_dir, threshold))
     docs = (_t(spark, sf_dir, "documents")
             .select("doc_id", score.alias("quality_score")))
     lab = (docs.join(labels, "doc_id", "left")
