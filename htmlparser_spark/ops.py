@@ -2935,3 +2935,32 @@ def corpus_distinct_kmv(spark, sf_dir, k=KMV_K):
     return (stats.join(kth, "source", "left")
             .select("source", "n_exact", "kth_min",
                     est.cast("long").alias("est_distinct")))
+
+
+BADWORDS = ("slow", "big", "legacy")  # content blocklist (corpus-appropriate
+                                      # stand-in for the C4/Dolma bad-words list)
+BADWORDS_MAX_PCT = 5                  # keep iff blocked words <= 5% of words
+
+
+def corpus_badwords_filter(spark, sf_dir, max_pct=BADWORDS_MAX_PCT):
+    """Blocked-word content filter — the C4 "bad words" stage in its
+    modern ratio form (C4 dropped a page on ANY hit; Dolma/RefinedWeb-style
+    taggers use a ratio threshold so a quoted word doesn't nuke a good
+    document). keep = blocked-word share ≤ max_pct%, decided as the pure
+    INTEGER inequality n_blocked·100 ≤ n_words·max_pct — no float ever
+    enters the decision, so the oracle compare is exact.
+
+    Scale shape: blocklist ships as a literal array (real lists are a few
+    thousand words — still a literal or a tiny broadcast), counting is
+    map-side codegen over the existing scan, zero shuffle, zero Python."""
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    blocked = F.array(*[F.lit(w) for w in BADWORDS])
+    n_words = F.size(words)
+    n_blocked = F.size(F.filter(words,
+                                lambda w: F.array_contains(blocked, w)))
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    n_words.cast("long").alias("n_words"),
+                    n_blocked.cast("long").alias("n_blocked"),
+                    (n_blocked * 100 <= n_words * F.lit(int(max_pct)))
+                    .cast("int").alias("keep")))

@@ -549,3 +549,25 @@ def test_kmv_under_k_groups_fall_back_to_exact(spark, tmp_path):
     assert got["tiny"] == (n_tiny, None, n_tiny)
     n_big, kth, est = got["big"]
     assert n_big == ops.KMV_K + 9 and kth is not None and est > 0
+
+
+def test_badwords_filter_matches_python_reference(spark):
+    """Integer keep rule (n_blocked*100 <= n_words*max_pct) vs a pure
+    python recount on the real table; both keep and drop sides non-empty
+    so the threshold actually discriminates on this corpus."""
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    pdf = pd.read_parquet(os.path.join(sf, "documents.parquet"),
+                          columns=["doc_id", "text"])
+    want = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        ws = [w for w in text.split(" ") if w]
+        nb = sum(w in ops.BADWORDS for w in ws)
+        want[doc_id] = (len(ws), nb,
+                        int(nb * 100 <= len(ws) * ops.BADWORDS_MAX_PCT))
+    got = {r.doc_id: (r.n_words, r.n_blocked, r.keep)
+           for r in ops.corpus_badwords_filter(spark, sf).collect()}
+    assert got == want
+    keeps = {k for _, (_, _, k) in got.items()}
+    assert keeps == {0, 1}
