@@ -230,6 +230,16 @@ def test_gopher_rules_map_only_no_python(spark):
     assert "EvalPython" not in p, p
 
 
+def test_badwords_filter_map_only_no_python(spark):
+    """The blocked-word ratio filter is pure codegen array arithmetic on
+    the document's own text (the blocklist is a literal array): zero
+    Exchange, zero Python eval — at corpus scale it rides the scan for
+    free, exactly like the Gopher rules."""
+    p = plan_of(ops.corpus_badwords_filter(spark, SF))
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p, p
+
+
 def test_robots_filter_no_corpus_shuffle(spark):
     """robots filtering joins the per-host rule ARRAYS as a broadcast and
     resolves longest-match in higher-order functions: the only hash
