@@ -268,8 +268,20 @@ def cleanup_checkpoints() -> int:
     re-scan these paths, so cleaning up mid-query breaks them. A long-lived
     application that never calls this (or doesn't put SPARK_GRAFT_CKPT_DIR
     on storage with an external TTL) accumulates checkpoints without
-    bound."""
+    bound.
+
+    Also drops every memoized DataFrame handle (_CC_PAIRS_CACHE): those
+    handles lazily read the paths reclaimed here, so keeping them would
+    hand later dedup_cluster_* calls a DataFrame over a deleted directory
+    instead of letting them re-materialize. Cache-mode entries are
+    unpersisted for the same reason — reclaim means reclaim."""
     import shutil
+    for df in _CC_PAIRS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to release
+    _CC_PAIRS_CACHE.clear()
     n = 0
     while _CKPT_PATHS:
         shutil.rmtree(_CKPT_PATHS.pop(), ignore_errors=True)
@@ -944,11 +956,18 @@ def _cell_pairs_balanced(assigned: DataFrame, max_cell: int) -> DataFrame:
                  F.sequence(F.lit(0).cast("long"), F.col("sub") - F.lit(1))))
              .select("cell", "i", F.col("sub").alias("j"),
                      F.col("vec_b").alias("id_r"), F.col("vb").alias("v_r")))
+    # canonicalize the VECTORS along with the ids: va must be vec_a's
+    # vector even when id_l > id_r, so non-symmetric consumers (asymmetric
+    # distances, per-side features) can trust the schema — not just the
+    # symmetric-cosine caller this was written for
+    swapped = F.col("id_l") > F.col("id_r")
     cross = (left.join(right, ["cell", "i", "j"])
              .select(F.least("id_l", "id_r").alias("vec_a"),
-                     F.col("v_l").alias("va"),  # cosine is symmetric
+                     F.when(swapped, F.col("v_r"))
+                      .otherwise(F.col("v_l")).alias("va"),
                      F.greatest("id_l", "id_r").alias("vec_b"),
-                     F.col("v_r").alias("vb")))
+                     F.when(swapped, F.col("v_l"))
+                      .otherwise(F.col("v_r")).alias("vb")))
     return within.unionAll(cross)
 
 

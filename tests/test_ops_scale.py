@@ -61,6 +61,27 @@ def test_minhash_ckpt_dir_writes_parquet_and_matches(spark, tmp_path,
     assert ops.cleanup_checkpoints() == 0  # idempotent
 
 
+def test_cc_pair_cache_invalidated_by_cleanup(spark, tmp_path, monkeypatch):
+    """ADVICE r4: cleanup_checkpoints() must also drop the memoized
+    MinHash pair DataFrames (_CC_PAIRS_CACHE) — in SPARK_GRAFT_CKPT_DIR
+    mode a retained handle lazily reads the reclaimed parquet path, so the
+    next dedup_cluster_* call would fail instead of re-materializing."""
+    words = [f"w{i}" for i in range(40)]
+    rows = [" ".join(words), " ".join(words[:39] + ["altword"]),
+            "totally different words here one two three four five six"]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+    ckpt = str(tmp_path / "ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_DIR", ckpt)
+    base = sorted(map(tuple, ops.dedup_cluster_cc(spark, sf_dir).collect()))
+    assert base
+    assert ops.cleanup_checkpoints() > 0
+    assert ops._CC_PAIRS_CACHE == {}
+    # before the fix this read a deleted checkpoint path and raised
+    again = sorted(map(tuple, ops.dedup_cluster_cc(spark, sf_dir).collect()))
+    assert again == base
+    ops.cleanup_checkpoints()
+
+
 def test_ivf_codebook_scales_with_corpus(spark, tmp_path):
     """The √n IVF design (the round-1 scale fix): centroid count must grow
     past the 16 floor once n > 256, and no cell may collect more than a
@@ -297,8 +318,10 @@ def test_cell_pairs_balanced_property(spark, seed, n, n_cells, max_cell):
     from pyspark.sql import functions as F
 
     rng = random.Random(seed)
-    rows = [(i, [float(rng.randint(0, 5))], rng.randrange(n_cells))
-            for i in range(n)]
+    # v encodes the id so the schema contract is checkable: va must be
+    # vec_a's vector and vb vec_b's (ADVICE r4: the cross-sub branch once
+    # canonicalized the ids but left the vectors in join order)
+    rows = [(i, [float(i)], rng.randrange(n_cells)) for i in range(n)]
     assigned = spark.createDataFrame(
         rows, "vec_id long, v array<double>, cell long")
 
@@ -307,11 +330,13 @@ def test_cell_pairs_balanced_property(spark, seed, n, n_cells, max_cell):
         assigned.select("cell", F.col("vec_id").alias("vec_a"))
         .join(assigned.select("cell", F.col("vec_id").alias("vec_b")), "cell")
         .filter(F.col("vec_a") < F.col("vec_b")).collect())
-    bal = [(r["vec_a"], r["vec_b"]) for r in
-           ops._cell_pairs_balanced(assigned, max_cell)
-           .select("vec_a", "vec_b").collect()]
+    got = ops._cell_pairs_balanced(assigned, max_cell).collect()
+    bal = [(r["vec_a"], r["vec_b"]) for r in got]
     assert sorted(bal) == plain
     assert len(bal) == len(set(bal))
+    for r in got:
+        assert r["va"] == [float(r["vec_a"])]
+        assert r["vb"] == [float(r["vec_b"])]
 
 
 def test_cluster_keep_best_picks_quality_maximum(spark):
