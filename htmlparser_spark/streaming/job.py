@@ -95,8 +95,17 @@ def parse_page_stream(pages: DataFrame, extract: bool = True,
     if transcode:
         from ..sources.charset import with_sniffed_encoding
         pages = with_sniffed_encoding(pages).drop("method")
-    with_key = pages.withColumn(
-        "part_key", F.pmod(F.xxhash64("url"), F.lit(4096)).cast("long"))
+    with_key = (pages
+                .withColumn("part_key",
+                            F.pmod(F.xxhash64("url"), F.lit(4096))
+                            .cast("long"))
+                # raw-content fingerprint, same contract as the batch
+                # pipeline (pipeline/job.py run_pipeline): computed
+                # JVM-side on the RAW capture bytes (before any in-kernel
+                # transcode rebinding) and passed through the kernel.
+                # Without it every streamed row carries content_hash = 0
+                # and the Bloom dedup drain degenerates to flag-everything.
+                .withColumn("content_hash", F.xxhash64("html")))
     return with_key.mapInPandas(
         partial(parse_batch, extract=extract), schema=PARSED_SCHEMA)
 
@@ -216,15 +225,21 @@ def host_rollup_stream(parsed: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
-def _check_stream_flags(out_dir: str, transcode: bool) -> None:
+def _check_stream_flags(out_dir: str, transcode: bool,
+                        kind: str = "plain") -> None:
     """Enforce the flag-constancy contract across drains of one out_dir,
     mirroring the batch pipeline's lineage-manifest check: a caller flipping
     transcode between drains would otherwise silently produce a parsed sink
-    half-decoded each way with nothing recording which. The flag is persisted
-    once in a marker file next to the checkpoint dir (it cannot live IN the
-    checkpoint: Spark owns that layout)."""
+    half-decoded each way with nothing recording which. The marker also
+    records the DRAIN KIND ("plain" vs "bloom"): the two drains write
+    different sink schemas (the Bloom drain adds maybe_dup), so resuming a
+    plain out_dir with the Bloom drain (or vice versa) would mix files with
+    and without the column — the exact silent-mixed-sink condition the
+    marker exists to fail fast on. The flag is persisted once in a marker
+    file next to the checkpoint dir (it cannot live IN the checkpoint:
+    Spark owns that layout)."""
     marker = os.path.join(out_dir, "_stream_flags.json")
-    want = {"transcode": bool(transcode)}
+    want = {"transcode": bool(transcode), "kind": kind}
     if os.path.exists(marker):
         import json
         with open(marker) as f:
@@ -251,7 +266,7 @@ def run_stream_once(spark: SparkSession, src_dir: str, out_dir: str,
     new files arrive processes ONLY the new files (checkpoint). transcode
     must stay constant across drains of one out_dir (same contract as the
     batch pipeline's resumed sinks) — enforced via a marker file."""
-    _check_stream_flags(out_dir, transcode)
+    _check_stream_flags(out_dir, transcode, kind="plain")
     pages = read_page_stream(spark, src_dir)
     parsed = parse_page_stream(pages, transcode=transcode)
     q = write_parsed_stream(parsed, out_dir)
@@ -336,8 +351,9 @@ def bloom_dedup_stream(parsed: DataFrame, hist_bits: DataFrame) -> DataFrame:
 
     Scale shape: the probe never shuffles the stream — k broadcast joins +
     codegen hashes; per-micro-batch cost is O(|batch|), independent of
-    history size. A deployment ingesting continuously would persist the
-    bit set and fold only each drained batch back in."""
+    history size. run_bloom_stream_once persists the bit set and folds
+    only each drained batch back in, so filter maintenance is O(|batch|)
+    too."""
     from ..ops import BLOOM_K, _bloom_position
 
     out = parsed
@@ -357,26 +373,88 @@ def bloom_dedup_stream(parsed: DataFrame, hist_bits: DataFrame) -> DataFrame:
                     *[f"_set{j}" for j in range(BLOOM_K)])
 
 
+def _bloom_state_load(out_dir: str) -> dict | None:
+    path = os.path.join(out_dir, "_bloom_state.json")
+    if not os.path.exists(path):
+        return None
+    import json
+    with open(path) as f:
+        return json.load(f)
+
+
+def _bloom_state_save(out_dir: str, state: dict) -> None:
+    import json
+    path = os.path.join(out_dir, "_bloom_state.json")
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+
+
 def run_bloom_stream_once(spark: SparkSession, src_dir: str, out_dir: str,
                           history_dir: str) -> dict:
     """Continuous-ingest dedup drain: parse pending page drops and tag
-    every parsed row against the HISTORY corpus's Bloom filter (history_dir
-    = any parsed parquet sink — a batch run or a previous drain), writing
-    parsed + maybe_dup exactly once. The filter is rebuilt from history per
-    drain here (one map-side fold); a production loop would persist the bit
-    set and update it incrementally with each drained batch. This drain
-    always parses untranscoded (same marker contract as run_stream_once:
-    resuming an out_dir a transcoded drain created fails fast instead of
-    mixing half-decoded rows)."""
-    _check_stream_flags(out_dir, transcode=False)
+    every parsed row against the history Bloom filter, writing
+    parsed + maybe_dup exactly once.
+
+    The bit set is PERSISTED and maintained incrementally: the FIRST drain
+    of an out_dir folds history_dir (any parsed parquet sink — a batch run
+    or a previous drain) into ``out_dir/_bloom_bits/v0`` once; every drain
+    after that reads the ≤ BLOOM_M-row bit-set parquet (never history) and,
+    after the sink commits, folds ONLY the newly committed parquet files
+    back in, writing the next bit-set version and advancing
+    ``_bloom_state.json`` atomically. End-to-end per-drain cost is
+    therefore O(|batch|) + O(BLOOM_M), independent of accumulated history —
+    the property that makes the drain viable against a 10¹²-document
+    history. Crash-safe because bit-folding is idempotent (bits are a set:
+    replaying a batch re-sets the same positions) and the state json is the
+    commit point; superseded bit-set versions are GC'd. New-file discovery
+    lists the local sink directory against the folded-file manifest; on an
+    object-store sink, swap in the file sink's own _spark_metadata batch
+    manifest — the fold itself is storage-agnostic.
+
+    This drain always parses untranscoded (same marker contract as
+    run_stream_once: resuming an out_dir a transcoded — or plain-kind —
+    drain created fails fast instead of mixing sink schemas)."""
+    import shutil
+    _check_stream_flags(out_dir, transcode=False, kind="bloom")
+    bits_root = os.path.join(out_dir, "_bloom_bits")
+    state = _bloom_state_load(out_dir)
+    if state is None:
+        hist = spark.read.schema(PARSED_SCHEMA).parquet(history_dir)
+        bloom_history_bits(hist).write.mode("overwrite").parquet(
+            os.path.join(bits_root, "v0"))
+        state = {"version": 0, "folded": []}
+        _bloom_state_save(out_dir, state)
+    hist_bits = spark.read.parquet(
+        os.path.join(bits_root, f"v{state['version']}"))
+
     pages = read_page_stream(spark, src_dir)
     parsed = parse_page_stream(pages)
-    hist = spark.read.schema(PARSED_SCHEMA).parquet(history_dir)
-    tagged = bloom_dedup_stream(parsed, bloom_history_bits(hist))
+    tagged = bloom_dedup_stream(parsed, hist_bits)
     q = write_parsed_stream(tagged, out_dir)
     q.awaitTermination()
+
+    # fold ONLY this drain's newly committed files into the bit set
+    parsed_dir = os.path.join(out_dir, "parsed")
     try:
-        out = spark.read.parquet(os.path.join(out_dir, "parsed"))
+        files = sorted(f for f in os.listdir(parsed_dir)
+                       if f.endswith(".parquet"))
+    except FileNotFoundError:
+        files = []
+    new = sorted(set(files) - set(state["folded"]))
+    if new:
+        batch = spark.read.schema(PARSED_SCHEMA).parquet(
+            *[os.path.join(parsed_dir, f) for f in new])
+        nxt = state["version"] + 1
+        (bloom_history_bits(batch).union(hist_bits).distinct()
+         .write.mode("overwrite").parquet(os.path.join(bits_root, f"v{nxt}")))
+        _bloom_state_save(out_dir, {"version": nxt, "folded": files})
+        shutil.rmtree(os.path.join(bits_root, f"v{state['version']}"),
+                      ignore_errors=True)
+
+    try:
+        out = spark.read.parquet(parsed_dir)
         row = out.agg(F.count(F.lit(1)).alias("n"),
                       F.sum("maybe_dup").alias("d")).collect()[0]
     except AnalysisException:
