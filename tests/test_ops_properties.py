@@ -571,3 +571,11 @@ def test_badwords_filter_matches_python_reference(spark):
     assert got == want
     keeps = {k for _, (_, _, k) in got.items()}
     assert keeps == {0, 1}
+    # a realistic-size blocklist (500 words, mostly never-matching) must
+    # count identically — the two-step intersect lookup is occurrence-
+    # exact regardless of list size
+    big = [f"blk{i}" for i in range(497)] + list(ops.BADWORDS)
+    got_big = {r.doc_id: (r.n_words, r.n_blocked, r.keep)
+               for r in ops.corpus_badwords_filter(spark, sf,
+                                                   blocklist=big).collect()}
+    assert got_big == want

@@ -234,8 +234,14 @@ def test_badwords_filter_map_only_no_python(spark):
     """The blocked-word ratio filter is pure codegen array arithmetic on
     the document's own text (the blocklist is a literal array): zero
     Exchange, zero Python eval — at corpus scale it rides the scan for
-    free, exactly like the Gopher rules."""
+    free, exactly like the Gopher rules. Pinned at a REALISTIC blocklist
+    size (500 words): the two-step array_intersect lookup must not change
+    the plan shape however long the list grows."""
     p = plan_of(ops.corpus_badwords_filter(spark, SF))
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p, p
+    big = [f"blk{i}" for i in range(497)] + list(ops.BADWORDS)
+    p = plan_of(ops.corpus_badwords_filter(spark, SF, blocklist=big))
     assert "Exchange" not in p, p
     assert "EvalPython" not in p, p
 
