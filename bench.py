@@ -147,7 +147,12 @@ def _transcode_measure(spark, n_pages: int) -> dict:
     # code). Interleaving puts both arms in every window.
     run(False)
     run(True)
-    reps = max(REPS, 3)
+    # 8+ interleaved pairs (~0.5 s each at sf0.1): REPS=3-4 pairs on a
+    # 0.5 s measurement leaves the per-arm min with enough variance that
+    # a single driver window read +23.5% (r4) while multi-run evidence
+    # says ~0-5% — the extra ~5 s of bench time buys a delta one window
+    # can actually support.
+    reps = max(REPS, 8)
     pairs = [(run(False), run(True)) for _ in range(reps)]
     plain = min(p for p, _ in pairs)
     fused = min(f for _, f in pairs)
@@ -424,16 +429,18 @@ window's prose, +65.2% in the committed BENCH_r03.json artifact): the old
 side metric timed all plain reps then all fused reps, so whichever arm ran
 second absorbed a different host-noise regime and the delta was biased.
 The metric now warms BOTH arms (the fused arm's first run pays per-worker
-charset-kernel imports) and measures INTERLEAVED plain/fused pairs, min
-per arm. Three full-bench runs at sf0.1/local[32] (2026-08-18) read
-+3.5%, +4.9%, and -6.6% on the adversarial 50%-non-UTF-8 4000-page
-corpus — the third ran inside a steal storm (bench total 36.8 s vs the
-day's quiet 5.7 s) and the interleaved delta STILL stayed inside a ±7%
-band, which is the point of the protocol. Net claim: fused transcode
-costs ~0-5% at the adversarial mix; the sniff is codegen in the existing
-scan projection, the re-encode touches only detected non-UTF-8 pages, and
-real crawls are ~5% non-UTF-8, so the production-mix cost is ~1/10 of
-this upper bound.
+charset-kernel imports) and measures INTERLEAVED plain/fused pairs
+(>= 8 pairs since round 5 — at 3-4 pairs on a ~0.5 s measurement the
+round-4 driver window still read +23.5%), min per arm. The band claim is
+a MULTI-RUN min-of-mins claim, not a per-window guarantee: any single
+window's delta can exceed it under steal (observed +23.5% at 4 pairs;
+interleaving removes the arm-order bias, not the variance). Accumulated
+evidence across builder runs (2026-08-18): +3.5%, +4.9%, -6.6%, +6.9% on
+the adversarial 50%-non-UTF-8 4000-page corpus. Net claim: fused
+transcode costs ~0-5% at the adversarial mix by min-of-mins across
+windows; the sniff is codegen in the existing scan projection, the
+re-encode touches only detected non-UTF-8 pages, and real crawls are ~5%
+non-UTF-8, so the production-mix cost is ~1/10 of this upper bound.
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
