@@ -2892,7 +2892,8 @@ def _ivfpq_index(embfp: DataFrame, cent_rows: list, CB: np.ndarray) \
         build, "vec_id bigint, cell bigint, sub bigint, code bigint")
 
 
-def embedding_ann_ivfpq(spark, sf_dir, k=3, n_queries=5, probes=None):
+def embedding_ann_ivfpq(spark, sf_dir, k=3, n_queries=5, probes=None,
+                        q_lo=0, trained=False):
     """IVF-PQ composed index — the FAISS-style architecture production ANN
     actually deploys at 10⁹+ vectors: the corpus inverts into ~√n cells by
     integer-L2 nearest centroid, vectors inside cells live ONLY as their
@@ -2902,19 +2903,26 @@ def embedding_ann_ivfpq(spark, sf_dir, k=3, n_queries=5, probes=None):
     table) plus the compressed code table — never a full vector, never a
     non-probed cell. Everything is exact integer arithmetic, so the DuckDB
     oracle replays cell assignment, encoding, probing, and ADC ranking
-    bit-identically."""
+    bit-identically. q_lo/trained mirror embedding_pq_topk: offset the
+    query window past the training prefix and/or swap in the
+    per-subspace-k-means codebook — the index/search plans are
+    identical either way."""
     probes = N_IVF_PROBES if probes is None else probes
     embfp = _emb_fp(spark, sf_dir)
     n_cent = _ivf_n_centroids(_emb_count(spark, sf_dir))
     # ONE driver collect serves the IVF centroids, the PQ codebook, and
-    # the query vectors (they are all low-vec_id prefixes of the table)
-    rows = (embfp.filter(F.col("vec_id") < max(n_cent, PQ_KS, n_queries))
+    # the query vectors (low-vec_id prefixes of the table, plus the query
+    # window when q_lo pushes it past them)
+    rows = (embfp.filter((F.col("vec_id") < max(n_cent, PQ_KS))
+                         | ((F.col("vec_id") >= q_lo)
+                            & (F.col("vec_id") < q_lo + n_queries)))
             .orderBy("vec_id").collect())
     cent_rows = [(int(r["vec_id"]), list(r["x"])) for r in rows
                  if r["vec_id"] < n_cent]
-    CB = _pq_codebook_from_rows(rows)
+    CB = (_pq_codebook_trained(embfp) if trained
+          else _pq_codebook_from_rows(rows))
     index = _ivfpq_index(embfp, cent_rows, CB)
-    q_rows = [r for r in rows if r["vec_id"] < n_queries]
+    q_rows = [r for r in rows if q_lo <= r["vec_id"] < q_lo + n_queries]
     cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
     C = np.array([r[1] for r in cent_rows], dtype=np.int64)
     probe_rows = []
@@ -2941,16 +2949,18 @@ def embedding_ann_ivfpq(spark, sf_dir, k=3, n_queries=5, probes=None):
             .select("query_id", "vec_id", "rank", "adist"))
 
 
-def embedding_ann_ivfpq_recall(spark, sf_dir, k=3, n_queries=5):
+def embedding_ann_ivfpq_recall(spark, sf_dir, k=3, n_queries=5, q_lo=0,
+                               trained=False):
     """Recall@k of the composed IVF-PQ index vs the exact integer-L2
     baseline — the figure that separates cell-miss loss (a true neighbor in
     a non-probed cell) plus quantization loss from the exact scan; compare
     with embedding_pq_recall (quantization loss only) to attribute the
-    gap."""
+    gap. q_lo/trained as in embedding_pq_recall."""
     embfp = _emb_fp(spark, sf_dir)
     return _recall_counts(
-        _exact_l2_topk(embfp, k, n_queries),
-        embedding_ann_ivfpq(spark, sf_dir, k=k, n_queries=n_queries))
+        _exact_l2_topk(embfp, k, n_queries, q_lo=q_lo),
+        embedding_ann_ivfpq(spark, sf_dir, k=k, n_queries=n_queries,
+                            q_lo=q_lo, trained=trained))
 
 
 # ---------------------------------------------------------------------------

@@ -317,3 +317,18 @@ def test_pq_trained_improves_quantization_and_recall(spark):
         assert all(r["n_exact"] == 10 for r in rows)
         hits[trained] = sum(r["n_hits"] for r in rows)
     assert hits[True] > hits[False]
+
+
+def test_ivfpq_trained_out_of_training_queries(spark):
+    """The composed IVF-PQ accepts the trained codebook + offset query
+    window: same index/search plans, and recall on out-of-training
+    queries must not degrade vs the stand-in codebook (the same
+    comparison embedding_pq_recall pins for the pure-PQ path)."""
+    hits = {}
+    for trained in (False, True):
+        rows = ops.embedding_ann_ivfpq_recall(
+            spark, SF, k=10, n_queries=30, q_lo=200,
+            trained=trained).collect()
+        assert all(r["n_exact"] == 10 for r in rows) and len(rows) == 30
+        hits[trained] = sum(r["n_hits"] for r in rows)
+    assert hits[True] >= hits[False]
