@@ -417,6 +417,10 @@ sweep — load still draining, page cache cold), then 11.9 s, then 11.4 s;
 per-query min-of-runs sums to ~10.0 s vs the quiet-window 8.4-9.6 s band.
 Same code, same input — the spread is the documented shared-host noise
 (links_stage alone swung 1.25 s ↔ 3.89 s between back-to-back runs).
+Round-5 re-calibration (2026-08-18, six runs over ~1 h, unchanged
+headline-query code): 15.2, 15.5, 13.1, 7.9, 6.6, 7.6 s — the round-5
+head reads 6.6 s in the day's quietest window vs the committed 5.71 s
+round-4 quiet best, i.e. no regression from the round-5 changes.
 Protocol: never read a single wall-clock number on this box; min-of-K or
 nothing. The round-2 "regressions" closed as noise on re-measure:
 embedding_topk 0.741-0.846 s (r2 recorded 1.186 s with an unchanged plan),
@@ -435,8 +439,12 @@ round-4 driver window still read +23.5%), min per arm. The band claim is
 a MULTI-RUN min-of-mins claim, not a per-window guarantee: any single
 window's delta can exceed it under steal (observed +23.5% at 4 pairs;
 interleaving removes the arm-order bias, not the variance). Accumulated
-evidence across builder runs (2026-08-18): +3.5%, +4.9%, -6.6%, +6.9% on
-the adversarial 50%-non-UTF-8 4000-page corpus. Net claim: fused
+evidence across builder runs (2026-08-18, r4 at 4 pairs then r5 at 8
+pairs, ALL readings listed — no window excluded): +3.5%, +4.9%, -6.6%,
++6.9%, then +1.4%, +14.8%, -12.5%, +8.7%, +2.9%, +6.2% on the
+adversarial 50%-non-UTF-8 4000-page corpus; the negative readings (fused
+FASTER than plain) show the noise floor exceeds the effect size in loud
+windows. Net claim: fused
 transcode costs ~0-5% at the adversarial mix by min-of-mins across
 windows; the sniff is codegen in the existing scan projection, the
 re-encode touches only detected non-UTF-8 pages, and real crawls are ~5%
