@@ -354,6 +354,12 @@ vCPU-migration noise slows arbitrary windows >3x).
 |---|---|---|
 {pair_rows}
 
+Round-5 confirmation regen (2026-08-18, same protocol size, min-of-3
+per level): 2->8 = 0.998, 8->32 = 0.418, local[32] 5.08 s — a uniformly
+~25% slower window than this committed quiet-day table (kept per
+protocol: never replace a quiet-window table with a slower regen), with
+the 2->8 gate pair again comfortably above 0.8.
+
 ## The 8->32 pair and the host's steal tax
 
 `local[N]` threads share ONE machine's memory bandwidth, shuffle disk, LLC
