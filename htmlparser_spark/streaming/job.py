@@ -225,6 +225,17 @@ def host_rollup_stream(parsed: DataFrame) -> DataFrame:
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def _atomic_json_write(path: str, obj: dict) -> None:
+    """tmp-then-rename JSON persistence shared by the flags marker and the
+    Bloom bit-set state, so a durability fix (e.g. fsync-before-replace)
+    lands in one place."""
+    import json
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 def _check_stream_flags(out_dir: str, transcode: bool,
                         kind: str = "plain") -> None:
     """Enforce the flag-constancy contract across drains of one out_dir,
@@ -244,19 +255,24 @@ def _check_stream_flags(out_dir: str, transcode: bool,
         import json
         with open(marker) as f:
             have = json.load(f)
+        migrate = "kind" not in have
+        if migrate:
+            # marker written before the drain kind was recorded: adopt the
+            # requested kind once (transcode is still enforced) and upgrade
+            # the marker, instead of bricking every pre-existing sink on a
+            # whole-dict mismatch
+            have["kind"] = kind
         if have != want:
             raise ValueError(
                 f"stream flag mismatch for {out_dir!r}: this drain requested "
                 f"{want} but the sink was created with {have}; use a new "
                 "out_dir (or keep the original flags) — mixed decodes in one "
                 "parsed sink are unrecoverable")
+        if migrate:
+            _atomic_json_write(marker, want)
     else:
         os.makedirs(out_dir, exist_ok=True)
-        import json
-        tmp = f"{marker}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(want, f)
-        os.replace(tmp, marker)
+        _atomic_json_write(marker, want)
 
 
 def run_stream_once(spark: SparkSession, src_dir: str, out_dir: str,
@@ -383,12 +399,41 @@ def _bloom_state_load(out_dir: str) -> dict | None:
 
 
 def _bloom_state_save(out_dir: str, state: dict) -> None:
-    import json
-    path = os.path.join(out_dir, "_bloom_state.json")
-    tmp = f"{path}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-    os.replace(tmp, path)
+    _atomic_json_write(os.path.join(out_dir, "_bloom_state.json"), state)
+
+
+def _bloom_fold_pending(spark: SparkSession, out_dir: str,
+                        state: dict) -> dict:
+    """Fold every committed sink file not yet in the folded-file manifest
+    into the next bit-set version and return the advanced state (or the
+    unchanged state when nothing is pending). Idempotent — bits are a
+    set — and called both BEFORE a drain (so a crash between a previous
+    drain's sink commit and its fold can never leave committed rows out
+    of the filter when the next batch is tagged) and after it (folding
+    the drain's own output for the future)."""
+    import shutil
+    parsed_dir = os.path.join(out_dir, "parsed")
+    bits_root = os.path.join(out_dir, "_bloom_bits")
+    try:
+        files = sorted(f for f in os.listdir(parsed_dir)
+                       if f.endswith(".parquet"))
+    except FileNotFoundError:
+        return state
+    new = sorted(set(files) - set(state["folded"]))
+    if not new:
+        return state
+    old_bits = spark.read.parquet(
+        os.path.join(bits_root, f"v{state['version']}"))
+    batch = spark.read.schema(PARSED_SCHEMA).parquet(
+        *[os.path.join(parsed_dir, f) for f in new])
+    nxt = state["version"] + 1
+    (bloom_history_bits(batch).union(old_bits).distinct()
+     .write.mode("overwrite").parquet(os.path.join(bits_root, f"v{nxt}")))
+    new_state = {"version": nxt, "folded": files}
+    _bloom_state_save(out_dir, new_state)
+    shutil.rmtree(os.path.join(bits_root, f"v{state['version']}"),
+                  ignore_errors=True)
+    return new_state
 
 
 def run_bloom_stream_once(spark: SparkSession, src_dir: str, out_dir: str,
@@ -407,16 +452,18 @@ def run_bloom_stream_once(spark: SparkSession, src_dir: str, out_dir: str,
     therefore O(|batch|) + O(BLOOM_M), independent of accumulated history —
     the property that makes the drain viable against a 10¹²-document
     history. Crash-safe because bit-folding is idempotent (bits are a set:
-    replaying a batch re-sets the same positions) and the state json is the
-    commit point; superseded bit-set versions are GC'd. New-file discovery
-    lists the local sink directory against the folded-file manifest; on an
-    object-store sink, swap in the file sink's own _spark_metadata batch
-    manifest — the fold itself is storage-agnostic.
+    replaying a batch re-sets the same positions), the state json is the
+    commit point, AND pending unfolded sink files are folded BEFORE each
+    drain tags — a crash between a drain's sink commit and its fold can
+    therefore never cost a false negative on the next drain; superseded
+    bit-set versions are GC'd. New-file discovery lists the local sink
+    directory against the folded-file manifest; on an object-store sink,
+    swap in the file sink's own _spark_metadata batch manifest — the fold
+    itself is storage-agnostic.
 
     This drain always parses untranscoded (same marker contract as
     run_stream_once: resuming an out_dir a transcoded — or plain-kind —
     drain created fails fast instead of mixing sink schemas)."""
-    import shutil
     _check_stream_flags(out_dir, transcode=False, kind="bloom")
     bits_root = os.path.join(out_dir, "_bloom_bits")
     state = _bloom_state_load(out_dir)
@@ -426,6 +473,9 @@ def run_bloom_stream_once(spark: SparkSession, src_dir: str, out_dir: str,
             os.path.join(bits_root, "v0"))
         state = {"version": 0, "folded": []}
         _bloom_state_save(out_dir, state)
+    # crash recovery: fold files a previous drain committed but never
+    # folded, so this drain tags against the complete history
+    state = _bloom_fold_pending(spark, out_dir, state)
     hist_bits = spark.read.parquet(
         os.path.join(bits_root, f"v{state['version']}"))
 
@@ -436,23 +486,9 @@ def run_bloom_stream_once(spark: SparkSession, src_dir: str, out_dir: str,
     q.awaitTermination()
 
     # fold ONLY this drain's newly committed files into the bit set
-    parsed_dir = os.path.join(out_dir, "parsed")
-    try:
-        files = sorted(f for f in os.listdir(parsed_dir)
-                       if f.endswith(".parquet"))
-    except FileNotFoundError:
-        files = []
-    new = sorted(set(files) - set(state["folded"]))
-    if new:
-        batch = spark.read.schema(PARSED_SCHEMA).parquet(
-            *[os.path.join(parsed_dir, f) for f in new])
-        nxt = state["version"] + 1
-        (bloom_history_bits(batch).union(hist_bits).distinct()
-         .write.mode("overwrite").parquet(os.path.join(bits_root, f"v{nxt}")))
-        _bloom_state_save(out_dir, {"version": nxt, "folded": files})
-        shutil.rmtree(os.path.join(bits_root, f"v{state['version']}"),
-                      ignore_errors=True)
+    _bloom_fold_pending(spark, out_dir, state)
 
+    parsed_dir = os.path.join(out_dir, "parsed")
     try:
         out = spark.read.parquet(parsed_dir)
         row = out.agg(F.count(F.lit(1)).alias("n"),

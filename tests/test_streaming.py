@@ -533,3 +533,73 @@ def test_stream_drain_kind_must_stay_constant(spark, tmp_path):
     run_stream_once(spark, src, out)
     with pytest.raises(ValueError, match="stream flag mismatch"):
         run_bloom_stream_once(spark, src, out, str(tmp_path / "whatever"))
+
+
+def test_bloom_crash_between_commit_and_fold_recovers(spark, tmp_path):
+    """Code-review finding: if a drain crashes after its sink commit but
+    before its fold, the NEXT drain must fold the pending files BEFORE
+    tagging — otherwise duplicates of the crashed drain's rows would slip
+    through untagged (a Bloom false negative). Simulated by rewinding
+    _bloom_state.json to its post-seed value after a completed drain."""
+    import json
+
+    from htmlparser_spark.streaming.job import (
+        bloom_history_bits, run_bloom_stream_once)
+
+    src_h, out_h = str(tmp_path / "src_h"), str(tmp_path / "out_h")
+    src_n, out_n = str(tmp_path / "src_n"), str(tmp_path / "out_n")
+    _write_batch(spark, src_h, 60, 1, "hist")
+    run_stream_once(spark, src_h, out_h)
+    hist_dir = os.path.join(out_h, "parsed")
+
+    n1 = _write_batch(spark, src_n, 50, 3, "drop1")  # fresh vs history
+    r1 = run_bloom_stream_once(spark, src_n, out_n, hist_dir)
+    assert r1["rows_total"] == n1
+
+    # rewind to the crash state: sink files committed, fold never ran
+    state_path = os.path.join(out_n, "_bloom_state.json")
+    with open(state_path, "w") as f:
+        json.dump({"version": 0, "folded": []}, f)
+    hist = spark.read.parquet(hist_dir)
+    bloom_history_bits(hist).write.mode("overwrite").parquet(
+        os.path.join(out_n, "_bloom_bits", "v0"))
+
+    # drain 2 repeats drop1's content: every row is a duplicate of rows
+    # already committed to this sink, so all must be flagged — which only
+    # happens if the pre-drain fold recovered the pending files
+    n2 = _write_batch(spark, src_n, 50, 3, "drop1_again")
+    r2 = run_bloom_stream_once(spark, src_n, out_n,
+                               str(tmp_path / "no_such_history"))
+    assert r2["rows_total"] == n1 + n2
+    assert r2["maybe_dup_total"] >= n2  # no false negatives after crash
+    with open(state_path) as f:
+        st = json.load(f)
+    parsed_dir = os.path.join(out_n, "parsed")
+    files = sorted(f for f in os.listdir(parsed_dir)
+                   if f.endswith(".parquet"))
+    assert st["folded"] == files  # recovery + this drain both folded
+
+
+def test_stream_flags_legacy_marker_migrates(spark, tmp_path):
+    """A pre-kind _stream_flags.json (only {"transcode": ...}) must not
+    brick the sink: the resume adopts the requested kind, enforces
+    transcode, and upgrades the marker in place."""
+    import json
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    _write_batch(spark, src, 10, 42, "d1")
+    os.makedirs(out, exist_ok=True)
+    marker = os.path.join(out, "_stream_flags.json")
+    with open(marker, "w") as f:
+        json.dump({"transcode": False}, f)  # as written before round 5
+    r = run_stream_once(spark, src, out)
+    assert r["rows_total"] > 0
+    with open(marker) as f:
+        assert json.load(f) == {"transcode": False, "kind": "plain"}
+    # the transcode flag is still enforced for legacy markers
+    import pytest
+    with open(marker, "w") as f:
+        json.dump({"transcode": True}, f)
+    with pytest.raises(ValueError, match="stream flag mismatch"):
+        run_stream_once(spark, src, out, transcode=False)
